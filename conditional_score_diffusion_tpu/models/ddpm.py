@@ -1,0 +1,229 @@
+"""DDPM U-Net and its conditional variants (Flax, NHWC).
+
+Reference: `models/ddpm.py` — `ddpm` (`:80-213`), `ddpm_paired_SR3`
+(`:275-285`), `ddpm_paired` (`:287-298`), `ddpm_2xSR` (`:300-314`),
+`ddpm_KxSR` (`:316-331`), plus the `SqueezeBlock` space-to-depth and Haar
+channel permutation helpers (`:39-78`).
+
+This family is the backbone of the CelebA-160 inverse-problem configs
+(e.g. `configs/ve/inverse_problems/super_resolution/celebA_ours_NDV_160.py`
+sets ``model.name = 'ddpm_paired'``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from . import register_model
+from .layers import (
+    AttnBlock,
+    legacy_group_norm,
+    Downsample,
+    ResnetBlockDDPM,
+    Upsample,
+    conv3x3,
+    default_init,
+    get_timestep_embedding,
+)
+
+_ACTS = {
+    "elu": jax.nn.elu,
+    "relu": jax.nn.relu,
+    "lrelu": lambda x: jax.nn.leaky_relu(x, 0.2),
+    "swish": jax.nn.silu,
+}
+
+
+def squeeze2x(z: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Space-to-depth by 2 (reference `models/ddpm.py:39-52`, NHWC layout).
+
+    Channel ordering matches the reference's NCHW permute: output channel
+    index is ``4*c + (2*dy + dx)``.
+    """
+    B, H, W, C = z.shape
+    if not reverse:
+        z = z.reshape(B, H // 2, 2, W // 2, 2, C)
+        z = z.transpose(0, 1, 3, 5, 2, 4)  # B, H/2, W/2, C, 2, 2
+        return z.reshape(B, H // 2, W // 2, 4 * C)
+    z = z.reshape(B, H, W, C // 4, 2, 2)
+    z = z.transpose(0, 1, 4, 2, 5, 3)  # B, H, 2, W, 2, C/4
+    return z.reshape(B, H * 2, W * 2, C // 4)
+
+
+@register_model(name="ddpm")
+class DDPM(nn.Module):
+    """Classic DDPM U-Net (reference `models/ddpm.py:80-213`)."""
+
+    nf: int
+    ch_mult: Tuple[int, ...]
+    num_res_blocks: int
+    attn_resolutions: Tuple[int, ...]
+    dropout: float
+    resamp_with_conv: bool
+    image_size: int
+    conditional: bool
+    centered: bool
+    output_channels: int
+    nonlinearity: str = "swish"
+    embedding_type: str = "positional"
+
+    @classmethod
+    def from_config(cls, config):
+        m = config.model
+        return cls(
+            nf=m.nf,
+            ch_mult=tuple(m.ch_mult),
+            num_res_blocks=m.num_res_blocks,
+            attn_resolutions=tuple(m.attn_resolutions),
+            dropout=m.dropout,
+            resamp_with_conv=m.resamp_with_conv,
+            image_size=config.data.effective_image_size,
+            conditional=m.conditional,
+            centered=config.data.centered,
+            output_channels=m.output_channels,
+            nonlinearity=m.nonlinearity.lower(),
+        )
+
+    @nn.compact
+    def __call__(self, x, cond, train: bool = False):
+        act = _ACTS[self.nonlinearity]
+        nf = self.nf
+        num_resolutions = len(self.ch_mult)
+        all_res = [self.image_size // (2**i) for i in range(num_resolutions)]
+
+        if self.conditional:
+            temb = get_timestep_embedding(cond, nf)
+            temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb0")(temb)
+            temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb1")(act(temb))
+        else:
+            temb = None
+
+        h = x if self.centered else 2 * x - 1.0
+
+        resblock = lambda out_ch, name: ResnetBlockDDPM(
+            act=act, out_ch=out_ch, dropout=self.dropout, name=name
+        )
+
+        # Downsampling path.
+        hs = [conv3x3(nf, name="conv_in")(h)]
+        for i_level in range(num_resolutions):
+            for i_block in range(self.num_res_blocks):
+                h = resblock(nf * self.ch_mult[i_level], f"down_{i_level}_{i_block}")(
+                    hs[-1], temb, train
+                )
+                if h.shape[1] in self.attn_resolutions:
+                    h = AttnBlock(h.shape[-1], name=f"down_attn_{i_level}_{i_block}")(h)
+                hs.append(h)
+            if i_level != num_resolutions - 1:
+                hs.append(
+                    Downsample(
+                        hs[-1].shape[-1], with_conv=self.resamp_with_conv, name=f"down_{i_level}"
+                    )(hs[-1])
+                )
+
+        # Bottleneck.
+        h = hs[-1]
+        h = resblock(None, "mid_block0")(h, temb, train)
+        h = AttnBlock(h.shape[-1], name="mid_attn")(h)
+        h = resblock(None, "mid_block1")(h, temb, train)
+
+        # Upsampling path.
+        for i_level in reversed(range(num_resolutions)):
+            for i_block in range(self.num_res_blocks + 1):
+                h = resblock(nf * self.ch_mult[i_level], f"up_{i_level}_{i_block}")(
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
+                )
+            if h.shape[1] in self.attn_resolutions:
+                h = AttnBlock(h.shape[-1], name=f"up_attn_{i_level}")(h)
+            if i_level != 0:
+                h = Upsample(h.shape[-1], with_conv=self.resamp_with_conv, name=f"up_{i_level}")(h)
+
+        assert not hs
+        h = act(legacy_group_norm(h.shape[-1], name="norm_out")(h))
+        h = conv3x3(self.output_channels, init_scale=0.0, name="conv_out")(h)
+        return h
+
+
+class _PairedBase(nn.Module):
+    """Shared concat-channels wrapper for paired (x, y) models."""
+
+    unet: nn.Module
+
+    @property
+    def embedding_type(self):
+        return self.unet.embedding_type
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(unet=DDPM.from_config(config))
+
+
+@register_model(name="ddpm_paired")
+class DDPMPaired(_PairedBase):
+    """Joint score of (x, y): concat on channels, split the output
+    (reference `models/ddpm.py:287-298`)."""
+
+    @nn.compact
+    def __call__(self, inputs, cond, train: bool = False):
+        x, y = inputs["x"], inputs["y"]
+        xc = x.shape[-1]
+        out = self.unet(jnp.concatenate([x, y], axis=-1), cond, train)
+        return {"x": out[..., :xc], "y": out[..., xc:]}
+
+
+@register_model(name="ddpm_paired_SR3")
+class DDPMPairedSR3(_PairedBase):
+    """SR3/CDE estimator: y is clean network input, score of x only
+    (reference `models/ddpm.py:275-285`)."""
+
+    @nn.compact
+    def __call__(self, inputs, cond, train: bool = False):
+        x, y = inputs["x"], inputs["y"]
+        return self.unet(jnp.concatenate([x, y], axis=-1), cond, train)
+
+
+@register_model(name="ddpm_2xSR")
+class DDPM2xSR(_PairedBase):
+    """2x SR: space-to-depth x so both domains share resolution
+    (reference `models/ddpm.py:300-314`)."""
+
+    @nn.compact
+    def __call__(self, inputs, cond, train: bool = False):
+        x, y = inputs["x"], inputs["y"]
+        xs = squeeze2x(x)
+        xc = xs.shape[-1]
+        out = self.unet(jnp.concatenate([xs, y], axis=-1), cond, train)
+        return {"x": squeeze2x(out[..., :xc], reverse=True), "y": out[..., xc:]}
+
+
+@register_model(name="ddpm_KxSR")
+class DDPMKxSR(_PairedBase):
+    """Kx SR: bilinear-resize y to GT size in, back to LQ size out
+    (reference `models/ddpm.py:316-331`)."""
+
+    target_resolution: int = 0
+    scale: int = 1
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(
+            unet=DDPM.from_config(config),
+            target_resolution=config.data.target_resolution,
+            scale=config.data.scale,
+        )
+
+    @nn.compact
+    def __call__(self, inputs, cond, train: bool = False):
+        x, y = inputs["x"], inputs["y"]
+        B, _, _, yc = y.shape
+        gt = self.target_resolution
+        lq = gt // self.scale
+        y_up = jax.image.resize(y, (B, gt, gt, yc), method="bilinear")
+        xc = x.shape[-1]
+        out = self.unet(jnp.concatenate([x, y_up], axis=-1), cond, train)
+        y_out = jax.image.resize(out[..., xc:], (B, lq, lq, yc), method="bilinear")
+        return {"x": out[..., :xc], "y": y_out}

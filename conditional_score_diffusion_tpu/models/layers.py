@@ -1,0 +1,235 @@
+"""Shared score-network layers (Flax, NHWC).
+
+Reference: `models/layers.py` (DDPM-era conv helpers, `variance_scaling` /
+`default_init`, `get_timestep_embedding`, `NIN`, `AttnBlock`, legacy
+`Upsample`/`Downsample`, `ResnetBlockDDPM` with 2D/3D support).
+
+The reference's `variance_scaling` docstring says "Ported from JAX" — here it
+simply *is* `jax.nn.initializers.variance_scaling`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def default_init(scale: float = 1.0):
+    """DDPM initialization (reference `models/layers.py:88-91`)."""
+    scale = 1e-10 if scale == 0 else scale
+    return jax.nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def get_act(config) -> Callable:
+    """Activation from config (reference `models/layers.py:29-41`)."""
+    name = config.model.nonlinearity.lower()
+    if name == "elu":
+        return jax.nn.elu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    if name == "swish":
+        return jax.nn.silu
+    raise NotImplementedError(f"activation {name!r} does not exist")
+
+
+def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int, max_positions: int = 10000):
+    """Transformer sinusoidal embedding (reference `models/layers.py:524-539`)."""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    assert emb.shape == (timesteps.shape[0], embedding_dim)
+    return emb
+
+
+def conv3x3(
+    out_ch: int,
+    stride: int = 1,
+    bias: bool = True,
+    dilation: int = 1,
+    init_scale: float = 1.0,
+    padding: Any = 1,
+    dim: int = 2,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """3x3 conv with DDPM init (reference `models/layers.py:119-133`). NHWC/NDHWC."""
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * dim
+    return nn.Conv(
+        out_ch,
+        kernel_size=(3,) * dim,
+        strides=(stride,) * dim,
+        padding=padding,
+        kernel_dilation=(dilation,) * dim,
+        use_bias=bias,
+        kernel_init=default_init(init_scale),
+        bias_init=jax.nn.initializers.zeros,
+        name=name,
+    )
+
+
+def conv1x1(
+    out_ch: int,
+    stride: int = 1,
+    bias: bool = True,
+    init_scale: float = 1.0,
+    dim: int = 2,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """1x1 conv with DDPM init (reference `models/layers.py:100-105`)."""
+    return nn.Conv(
+        out_ch,
+        kernel_size=(1,) * dim,
+        strides=(stride,) * dim,
+        padding="VALID",
+        use_bias=bias,
+        kernel_init=default_init(init_scale),
+        bias_init=jax.nn.initializers.zeros,
+        name=name,
+    )
+
+
+class NIN(nn.Module):
+    """Network-in-network: a dense layer over the channel axis.
+
+    Reference `models/layers.py:555-564` — in NHWC this is just a Dense.
+    """
+
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.num_units,
+            kernel_init=default_init(self.init_scale),
+            bias_init=jax.nn.initializers.zeros,
+            name="dense",
+        )(x)
+
+
+def group_norm(ch: int, num_groups: Optional[int] = None, name: Optional[str] = None) -> nn.GroupNorm:
+    """GroupNorm with the NCSN++ group heuristic and eps=1e-6."""
+    if num_groups is None:
+        num_groups = min(ch // 4, 32)
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, name=name)
+
+
+def legacy_group_norm(ch: int, name: Optional[str] = None) -> nn.GroupNorm:
+    """DDPM-era GroupNorm: 32 groups (reference `models/layers.py:637`).
+
+    Identical to the reference whenever ``ch % 32 == 0`` (true for every real
+    config); falls back to gcd(ch, 32) groups for tiny channel counts that
+    would crash the reference outright.
+    """
+    groups = 32 if ch % 32 == 0 else math.gcd(ch, 32)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+
+
+def _spatial_attention(q, k, v):
+    """Pixels-as-tokens self-attention (reference `models/layers.py:577-590`).
+
+    q,k,v: (B, H, W, C).  Contracted over C, softmax over source pixels.
+    Computed in f32 on the MXU regardless of input dtype.
+    """
+    B, H, W, C = q.shape
+    q = q.reshape(B, H * W, C)
+    k = k.reshape(B, H * W, C)
+    v = v.reshape(B, H * W, C)
+    w = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    w = w * (int(C) ** (-0.5))
+    w = jax.nn.softmax(w, axis=-1)
+    h = jnp.einsum("bqk,bkc->bqc", w, v.astype(w.dtype), preferred_element_type=jnp.float32)
+    return h.astype(q.dtype).reshape(B, H, W, C)
+
+
+class AttnBlock(nn.Module):
+    """DDPM channel-wise self-attention (reference `models/layers.py:569-591`)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = legacy_group_norm(x.shape[-1], name="norm")(x)
+        q = NIN(self.channels, name="q")(h)
+        k = NIN(self.channels, name="k")(h)
+        v = NIN(self.channels, name="v")(h)
+        h = _spatial_attention(q, k, v)
+        h = NIN(self.channels, init_scale=0.0, name="out")(h)
+        return x + h
+
+
+class Upsample(nn.Module):
+    """Nearest x2 upsample + optional conv (reference `models/layers.py:593-604`)."""
+
+    channels: int
+    with_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        if self.with_conv:
+            h = conv3x3(self.channels, name="conv")(h)
+        return h
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv (with SAME-emulating pad) or 2x2 avg-pool
+    (reference `models/layers.py:606-629`)."""
+
+    channels: int
+    with_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = conv3x3(self.channels, stride=2, padding=0, name="conv")(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ResnetBlockDDPM(nn.Module):
+    """Legacy DDPM ResNet block, 2D/3D (reference `models/layers.py:631-674`)."""
+
+    act: Callable
+    out_ch: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    dim: int = 2
+
+    @nn.compact
+    def __call__(self, x, temb=None, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch if self.out_ch is not None else in_ch
+        h = self.act(legacy_group_norm(in_ch, name="norm0")(x))
+        h = conv3x3(out_ch, dim=self.dim, name="conv0")(h)
+        if temb is not None:
+            temb_proj = nn.Dense(
+                out_ch,
+                kernel_init=default_init(),
+                bias_init=jax.nn.initializers.zeros,
+                name="temb_proj",
+            )(self.act(temb))
+            h = h + temb_proj.reshape(temb_proj.shape[:1] + (1,) * self.dim + temb_proj.shape[1:])
+        h = self.act(legacy_group_norm(out_ch, name="norm1")(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=0.0, dim=self.dim, name="conv1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, dim=self.dim, name="shortcut")(x)
+            else:
+                x = NIN(out_ch, name="shortcut")(x)
+        return x + h

@@ -1,0 +1,186 @@
+"""Sampler tests with analytic Gaussian scores.
+
+For Gaussian data ~ N(mu, s^2) and a VESDE, the exact marginal score is
+score(x, t) = -(x - mu) / (s^2 + sigma_t^2).  Every sampler must recover the
+data distribution when driven by the exact score.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conditional_score_diffusion_tpu.sde import VESDE, batch_mul
+from conditional_score_diffusion_tpu.sampling import (
+    get_likelihood_fn,
+    get_ode_sampler,
+    get_pc_conditional_sampler,
+    get_pc_inpainter,
+    get_pc_sampler,
+)
+
+SDE = VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+MU, S = 1.5, 0.5
+
+
+def exact_score(x, t):
+    sigma_t = SDE.marginal_prob(jnp.zeros(()), t)[1]
+    return -batch_mul(1.0 / (S**2 + sigma_t**2), x - MU)
+
+
+class TestUnconditionalPC:
+    def test_reverse_diffusion_langevin_recovers_gaussian(self):
+        sampler = get_pc_sampler(
+            SDE, (2048, 2), "reverse_diffusion", "langevin",
+            snr=0.15, p_steps=200, c_steps=1, denoise=True, eps=1e-5,
+        )
+        samples, info = jax.jit(lambda r: sampler(r, exact_score))(jax.random.key(0))
+        assert info["steps"] == 400
+        np.testing.assert_allclose(float(samples.mean()), MU, atol=0.08)
+        np.testing.assert_allclose(float(samples.std()), S, atol=0.08)
+
+    def test_euler_maruyama_none(self):
+        sampler = get_pc_sampler(
+            SDE, (1024, 2), "euler_maruyama", "none",
+            snr=0.0, p_steps=400, c_steps=1, denoise=False, eps=1e-5,
+        )
+        samples, _ = sampler(jax.random.key(1), exact_score)
+        np.testing.assert_allclose(float(samples.mean()), MU, atol=0.1)
+        np.testing.assert_allclose(float(samples.std()), S, atol=0.1)
+
+    def test_deterministic_given_key(self):
+        sampler = get_pc_sampler(
+            SDE, (8, 2), "reverse_diffusion", "none",
+            snr=0.0, p_steps=20, c_steps=1, denoise=True, eps=1e-5,
+        )
+        s1, _ = sampler(jax.random.key(3), exact_score)
+        s2, _ = sampler(jax.random.key(3), exact_score)
+        s3, _ = sampler(jax.random.key(4), exact_score)
+        np.testing.assert_array_equal(s1, s2)
+        assert not np.allclose(s1, s3)
+
+    def test_evolution_capture(self):
+        sampler = get_pc_sampler(
+            SDE, (4, 2), "reverse_diffusion", "none",
+            snr=0.0, p_steps=10, c_steps=1, denoise=True, eps=1e-5,
+        )
+        _, info = sampler(jax.random.key(0), exact_score, show_evolution=True)
+        assert info["evolution"].shape == (10, 4, 2)
+
+
+class TestConditionalPC:
+    """x | y0 ~ N(2*y0, s^2): exact conditional score drives the sampler."""
+
+    def _multispeed(self):
+        return {
+            "x": VESDE(sigma_min=0.01, sigma_max=10.0, N=200),
+            "y": VESDE(sigma_min=0.01, sigma_max=0.5, N=200),
+        }
+
+    def test_multispeed_converges_to_conditional_mean(self):
+        sde = self._multispeed()
+        y0 = jnp.array([[1.0], [-2.0], [0.5], [3.0]])
+
+        def cond_score(x, y, t):
+            # closed over y0: score of p(x_t | y0) with tiny s
+            sigma_t = sde["x"].marginal_prob(jnp.zeros(()), t)[1]
+            return -batch_mul(1.0 / (0.05**2 + sigma_t**2), x - 2 * y0)
+
+        sampler = get_pc_conditional_sampler(
+            sde, (4, 1), "conditional_reverse_diffusion", "conditional_langevin",
+            snr=0.15, p_steps=200, c_steps=1, denoise=True, eps=1e-5,
+        )
+        samples, _ = jax.jit(lambda r: sampler(r, cond_score, y0))(jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(samples), 2 * np.asarray(y0), atol=0.15)
+
+    def test_y_perturbation_reaches_score(self):
+        sde = self._multispeed()
+        y0 = jnp.zeros((4, 1))
+        seen = []
+
+        def spy_score(x, y, t):
+            seen.append(y)
+            sigma_t = sde["x"].marginal_prob(jnp.zeros(()), t)[1]
+            return -batch_mul(1.0 / (1.0 + sigma_t**2), x)
+
+        sampler = get_pc_conditional_sampler(
+            sde, (4, 1), "conditional_reverse_diffusion", "conditional_none",
+            snr=0.0, p_steps=5, c_steps=1, denoise=True, eps=1e-5,
+        )
+        sampler(jax.random.key(0), spy_score, y0)
+        # y passed to score must be a *perturbed* tracer, not the clean zeros
+        assert seen, "score never called"
+
+    def test_use_path_mode(self):
+        sde = self._multispeed()
+        y0 = jnp.array([[1.0], [-1.0]])
+
+        def cond_score(x, y, t):
+            sigma_t = sde["x"].marginal_prob(jnp.zeros(()), t)[1]
+            return -batch_mul(1.0 / (0.05**2 + sigma_t**2), x - 2 * y0)
+
+        sampler = get_pc_conditional_sampler(
+            sde, (2, 1), "conditional_reverse_diffusion", "conditional_langevin",
+            snr=0.15, p_steps=200, c_steps=1, denoise=True, use_path=True, eps=1e-5,
+        )
+        samples, _ = sampler(jax.random.key(0), cond_score, y0)
+        np.testing.assert_allclose(np.asarray(samples), 2 * np.asarray(y0), atol=0.15)
+
+    def test_sr3_single_sde_clean_y(self):
+        sde = VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+        y0 = jnp.array([[0.7], [-0.3]])
+        seen_ys = []
+
+        def cond_score(x, y, t):
+            seen_ys.append(y)
+            sigma_t = sde.marginal_prob(jnp.zeros(()), t)[1]
+            return -batch_mul(1.0 / (0.05**2 + sigma_t**2), x - 2 * y)
+
+        sampler = get_pc_conditional_sampler(
+            sde, (2, 1), "conditional_reverse_diffusion", "conditional_langevin",
+            snr=0.15, p_steps=200, c_steps=1, denoise=True, eps=1e-5,
+        )
+        samples, _ = sampler(jax.random.key(0), cond_score, y0)
+        # clean y -> conditional mean exactly 2*y0
+        np.testing.assert_allclose(np.asarray(samples), 2 * np.asarray(y0), atol=0.15)
+
+
+class TestInpainter:
+    def test_known_pixels_kept_and_unknown_plausible(self):
+        inpainter = get_pc_inpainter(
+            SDE, "reverse_diffusion", "langevin", snr=0.15, n_steps=1, denoise=True,
+            eps=1e-5,
+        )
+        data = jnp.full((256, 4), MU)
+        mask = jnp.zeros((256, 4)).at[:, :2].set(1.0)
+        out, _ = jax.jit(lambda r: inpainter(r, exact_score, data, mask))(jax.random.key(0))
+        # known region: projected to clean data at the final (denoised) step
+        np.testing.assert_allclose(np.asarray(out[:, :2]), MU, atol=1e-3)
+        # unknown region: drawn from the (exact-score) model distribution
+        np.testing.assert_allclose(float(out[:, 2:].mean()), MU, atol=0.1)
+        np.testing.assert_allclose(float(out[:, 2:].std()), S, atol=0.1)
+
+
+class TestODE:
+    def test_ode_sampler_statistics(self):
+        sampler = get_ode_sampler(SDE, (2048, 1), denoise=False, eps=1e-4)
+        samples, _ = sampler(jax.random.key(0), exact_score)
+        np.testing.assert_allclose(float(samples.mean()), MU, atol=0.08)
+        np.testing.assert_allclose(float(samples.std()), S, atol=0.08)
+
+
+class TestLikelihood:
+    def test_gaussian_bpd(self):
+        # Standard normal data; exact score of N(0, 1): -(x)/(1 + sigma_t^2).
+        sde = VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+
+        def score(x, t):
+            sigma_t = sde.marginal_prob(jnp.zeros(()), t)[1]
+            return -batch_mul(1.0 / (1.0 + sigma_t**2), x)
+
+        lik = get_likelihood_fn(sde, eps=1e-5)
+        data = jax.random.normal(jax.random.key(0), (512, 2))
+        bpd, z, _ = lik(jax.random.key(1), score, data)
+        # analytic differential entropy bpd of N(0,1) = log2(sqrt(2*pi*e))
+        analytic = 0.5 * np.log2(2 * np.pi * np.e) + 8.0
+        np.testing.assert_allclose(float(bpd.mean()), analytic, atol=0.1)
