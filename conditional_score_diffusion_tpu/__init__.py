@@ -25,3 +25,22 @@ Layer map (mirrors reference SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the 160px U-Net sampler scan takes minutes to
+# compile; caching makes every subsequent process start warm.  Opt out with
+# CSDT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("CSDT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "CSDT_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -1,0 +1,134 @@
+"""PSNR / SSIM / consistency / diversity metrics (jnp, batched, jittable).
+
+Reference: `lightning_callbacks/evaluation_tools.py:14-185` — PSNR and
+MATLAB-equivalent SSIM on [0, 255] images, task-specific consistency
+operators (SR: bicubic-downsample PSNR; inpainting: masked-region PSNR;
+image-to-image: Canny edge-map PSNR), and the diversity metric (pixel std
+across draws, `PairedCallback.py:204-208`).
+
+Images here are NHWC float in [0, 1]; values are scaled to [0, 255]
+internally to match the reference numerics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import imresize
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-image PSNR on [0,1] NHWC batches (reference `:68-76`, range 255)."""
+    x1 = img1.astype(jnp.float64) * 255.0
+    x2 = img2.astype(jnp.float64) * 255.0
+    axes = tuple(range(1, img1.ndim))
+    mse = jnp.mean((x1 - x2) ** 2, axis=axes)
+    return 20 * jnp.log10(255.0 / jnp.sqrt(mse))
+
+
+def mean_psnr(img1, img2) -> float:
+    return float(jnp.mean(psnr(img1, img2)))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    # cv2.getGaussianKernel equivalent
+    x = np.arange(size) - (size - 1) / 2
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    k = k / k.sum()
+    return np.outer(k, k).astype(np.float64)
+
+
+def _filter2d_valid(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise valid-mode correlation of NHWC images with a 2-D window."""
+    C = img.shape[-1]
+    k = jnp.asarray(window, img.dtype)[..., None, None]
+    k = jnp.tile(k, (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        img, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-image MATLAB-equivalent SSIM on [0,1] NHWC batches.
+
+    Matches reference `evaluation_tools.py:93-135`: 11x11 Gaussian sigma
+    1.5, valid region, [0,255] constants, channels averaged.
+    """
+    C1 = (0.01 * 255) ** 2
+    C2 = (0.03 * 255) ** 2
+    x1 = img1.astype(jnp.float64) * 255.0
+    x2 = img2.astype(jnp.float64) * 255.0
+    w = _gaussian_window()
+
+    mu1 = _filter2d_valid(x1, w)
+    mu2 = _filter2d_valid(x2, w)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    s1 = _filter2d_valid(x1 * x1, w) - mu1_sq
+    s2 = _filter2d_valid(x2 * x2, w) - mu2_sq
+    s12 = _filter2d_valid(x1 * x2, w) - mu1_mu2
+
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+    )
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def mean_ssim(img1, img2) -> float:
+    return float(jnp.mean(ssim(img1, img2)))
+
+
+def diversity(draws: jnp.ndarray) -> float:
+    """Pixel-wise std across sample draws, averaged
+    (reference `PairedCallback.py:204-208`).  draws: [D, B, H, W, C]."""
+    return float(jnp.mean(jnp.std(draws, axis=0)))
+
+
+def get_consistency_fn(task: str) -> Callable:
+    """Forward-operator consistency (reference `evaluation_tools.py:14-65`)."""
+    if task == "super-resolution":
+
+        def consistency_fn(samples, hr_gt, scale):
+            lr_fake = imresize(samples, scale=1.0 / scale)
+            lr_gt = imresize(hr_gt, scale=1.0 / scale)
+            return mean_psnr(lr_fake, lr_gt)
+
+        return consistency_fn
+
+    if task == "inpainting":
+
+        def consistency_fn(samples, gt, mask):
+            """mask: 1 inside the inpainted square; compare the KNOWN region
+            (reference zeroes the masked square then PSNRs the rest)."""
+            keep = 1.0 - mask
+            return mean_psnr(samples * keep, gt * keep)
+
+        return consistency_fn
+
+    if task == "image-to-image":
+
+        def consistency_fn(samples, gt):
+            import cv2
+
+            def edges(img):
+                u8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+                out = []
+                for i in range(u8.shape[0]):
+                    gray = cv2.cvtColor(u8[i], cv2.COLOR_RGB2GRAY)
+                    blur = cv2.GaussianBlur(gray, (3, 3), sigmaX=0.5, sigmaY=0.5)
+                    out.append(
+                        cv2.Canny(blur.astype(np.uint8), 10, 100, L2gradient=True)
+                    )
+                return np.stack(out).astype(np.float32)[..., None] / 255.0
+
+            return mean_psnr(jnp.asarray(edges(samples)), jnp.asarray(edges(gt)))
+
+        return consistency_fn
+
+    raise NotImplementedError(f"The forward operator for task {task!r} is not supported.")

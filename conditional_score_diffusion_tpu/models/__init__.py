@@ -55,14 +55,59 @@ def example_inputs(config, batch: int = 1):
 
 
 def init_model(config, rng) -> Tuple[Any, Dict]:
-    """Create the module and initialize its parameters."""
+    """Create the module and initialize its parameters.
+
+    The whole init is one jitted program: un-jitted `module.init` dispatches
+    thousands of tiny ops (minutes over a remote-device tunnel), while the
+    jitted version is a single cached executable.
+    """
     module = create_model(config)
     inputs, cond = example_inputs(config)
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = module.init(
-        {"params": params_rng, "dropout": dropout_rng}, inputs, cond, train=False
-    )
-    return module, variables["params"]
+
+    @jax.jit
+    def do_init():
+        return module.init(
+            {"params": params_rng, "dropout": dropout_rng}, inputs, cond, train=False
+        )
+
+    return module, do_init()["params"]
+
+
+def init_model_shapes_only(config, rng, scale: float = 0.02) -> Tuple[Any, Dict]:
+    """Module + host-initialized params from `jax.eval_shape` (no device
+    compile at all).
+
+    For benchmarking and compile checks the parameter *values* are
+    irrelevant; this skips the (remote-)compile of the init program.  Heads
+    named 'scale' get ones, 'bias'/'b' zeros, everything else small normal.
+    """
+    import numpy as np
+
+    module = create_model(config)
+    inputs, cond = example_inputs(config)
+    shapes = jax.eval_shape(
+        lambda: module.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            inputs,
+            cond,
+            train=False,
+        )
+    )["params"]
+    host_rng = np.random.default_rng(0)
+
+    def make(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "scale":
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name in ("bias", "b"):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        return jnp.asarray(
+            host_rng.normal(0.0, scale, size=leaf.shape).astype(np.float32)
+        ).astype(leaf.dtype)
+
+    params = jax.tree_util.tree_map_with_path(make, shapes)
+    return module, params
 
 
 # Side-effect imports populate the registry (reference `run_lib.py:1-16`).

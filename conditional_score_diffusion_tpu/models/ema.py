@@ -29,7 +29,9 @@ class EMAState:
         return cls(
             decay=jnp.asarray(decay, jnp.float32),
             num_updates=jnp.asarray(0, jnp.int32),
-            params=jax.tree.map(jnp.asarray, params),
+            # Copy so the shadow never aliases the live params — aliasing
+            # breaks buffer donation ("donate the same buffer twice").
+            params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         )
 
 

@@ -1,0 +1,145 @@
+"""Host-side training loop.
+
+Reference: `pl.Trainer.fit` orchestration (`run_lib.py:33-75`) + the
+callback layer.  The device-side work is a single sharded jitted step; this
+loop only feeds batches, logs scalars, runs periodic eval, snapshots
+checkpoints, and (for visual configs) samples.
+
+TensorBoard tags mirror the reference (`train_loss`, `eval_loss`,
+`sigma_max_y`, ... — SURVEY.md §5 observability).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import create_datamodule
+from ..models import init_model
+from ..parallel import local_batch_to_global, make_mesh, replicated_sharding, shard_train_step
+from .checkpoint import CheckpointManager
+from .schedules import is_decreasing_variance, sigma_y_at_step
+from .state import create_train_state
+from .steps import make_eval_step, make_train_step
+
+
+def _to_device_batch(batch, config):
+    """Normalize a datamodule batch: NHWC arrays; paired -> {'x','y'} dict."""
+    return batch
+
+
+class Trainer:
+    def __init__(self, config, log_path: str, checkpoint_path: Optional[str] = None):
+        self.config = config
+        self.log_path = log_path
+        self.checkpoint_path = checkpoint_path
+        os.makedirs(log_path, exist_ok=True)
+
+        self.mesh = make_mesh()
+        self.datamodule = create_datamodule(config)
+        self.datamodule.setup()
+
+        rng = jax.random.key(config.seed)
+        self.module, params = init_model(config, rng)
+
+        train_step, tx = make_train_step(config, self.module)
+        self.state = create_train_state(config, params, tx)
+        self.train_step = shard_train_step(train_step, self.mesh)
+
+        eval_step = make_eval_step(config, self.module)
+        repl = replicated_sharding(self.mesh)
+        from ..parallel import batch_sharding
+
+        self.eval_step = jax.jit(
+            eval_step,
+            in_shardings=(repl, batch_sharding(self.mesh), repl),
+        )
+
+        self.ckpt = CheckpointManager(
+            os.path.join(log_path, "checkpoints"),
+            max_to_keep=3,
+            save_interval=1,
+        )
+        if checkpoint_path:
+            restore_mgr = CheckpointManager(checkpoint_path)
+            self.state = restore_mgr.restore(self.state)
+            restore_mgr.close()
+        elif self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(log_path)
+        except ImportError:  # pragma: no cover
+            self.writer = None
+
+    def log_scalar(self, tag: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+
+    def run_eval(self, rng) -> float:
+        losses = []
+        for i, batch in enumerate(self.datamodule.val_iterator()):
+            if i >= 8:  # bounded eval pass
+                break
+            gbatch = local_batch_to_global(batch, self.mesh)
+            m = self.eval_step(self.state, gbatch, jax.random.fold_in(rng, i))
+            losses.append(float(m["eval_loss"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def fit(self, max_steps: Optional[int] = None, callbacks=()) -> Dict[str, Any]:
+        config = self.config
+        n_iters = max_steps if max_steps is not None else config.training.n_iters
+        log_freq = config.training.get("log_freq", 250)
+        eval_freq = config.training.get("eval_freq", 2500)
+        snapshot_freq = config.training.get("snapshot_freq", 5000)
+
+        rng = jax.random.key(config.seed + 1)
+        train_iter = self.datamodule.train_iterator()
+        history = {"train_loss": [], "eval_loss": []}
+        t_last = time.time()
+
+        start = int(self.state.step)
+        for step in range(start, n_iters):
+            batch = next(train_iter)
+            gbatch = local_batch_to_global(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, gbatch, rng)
+
+            if (step + 1) % log_freq == 0 or step == start:
+                loss = float(metrics["loss"])
+                history["train_loss"].append((step + 1, loss))
+                self.log_scalar("train_loss", loss, step + 1)
+                if is_decreasing_variance(config):
+                    smin, smax = sigma_y_at_step(config, step + 1)
+                    self.log_scalar("sigma_max_y", float(smax), step + 1)
+                    self.log_scalar("sigma_min_y", float(smin), step + 1)
+                dt = time.time() - t_last
+                t_last = time.time()
+                print(f"step {step + 1}: loss={loss:.5f} ({dt:.1f}s)", flush=True)
+
+            if (step + 1) % eval_freq == 0:
+                eval_loss = self.run_eval(jax.random.fold_in(rng, step))
+                history["eval_loss"].append((step + 1, eval_loss))
+                self.log_scalar("eval_loss", eval_loss, step + 1)
+
+            if (step + 1) % snapshot_freq == 0 or (step + 1) == n_iters:
+                self.ckpt.save(int(self.state.step), self.state, force=True)
+
+            for cb in callbacks:
+                cb(self, step + 1)
+
+        self.ckpt.wait()
+        return history
+
+
+def train(config, log_path: str, checkpoint_path: Optional[str] = None,
+          max_steps: Optional[int] = None) -> Dict[str, Any]:
+    """Reference `run_lib.train` equivalent."""
+    trainer = Trainer(config, log_path, checkpoint_path)
+    return trainer.fit(max_steps=max_steps)
