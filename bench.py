@@ -36,16 +36,19 @@ def main():
     from conditional_score_diffusion_tpu.sde import build_sde
     from __graft_entry__ import _flagship_config
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     p_steps = int(os.environ.get("BENCH_P_STEPS", "1000"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[dtype_name]
 
     config = _flagship_config()
     module, params = init_model_shapes_only(config, jax.random.key(0))
     sde, eps = build_sde(config)
 
     raw_score = get_score_fn(
-        sde, module, params, conditional=True, train=False, continuous=True
+        sde, module, params, conditional=True, train=False, continuous=True,
+        compute_dtype=compute_dtype,
     )
     score = get_conditional_score_fn(raw_score, "x")
 
@@ -74,8 +77,16 @@ def main():
         flops_per_eval = 0.0
 
     # Warmup/compile.
+    t0 = time.perf_counter()
     out = fn(jax.random.key(0))
     out.block_until_ready()
+    warm = time.perf_counter() - t0
+    finite = bool(jnp.isfinite(out).all())
+    print(
+        f"# warmup {warm:.1f}s; samples finite={finite} "
+        f"mean={float(out.mean()):.4f} std={float(out.std()):.4f}",
+        file=sys.stderr,
+    )
 
     times = []
     for i in range(reps):
@@ -85,6 +96,8 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
     imgs_per_sec = batch / dt
+    if not finite:
+        imgs_per_sec = float("nan")
 
     # Estimated eager-PyTorch A100 reference (see module docstring).
     A100_PEAK = 312e12  # TF32-with-sparsity-off tensor-core peak, FLOP/s
@@ -97,7 +110,7 @@ def main():
         vs_baseline = float("nan")
 
     print(
-        f"# batch={batch} p_steps={p_steps} net_evals={2*p_steps} "
+        f"# batch={batch} p_steps={p_steps} dtype={dtype_name} net_evals={2*p_steps} "
         f"time/batch={dt:.2f}s flops/eval={flops_per_eval:.3e} "
         f"est_A100_ref={ref_imgs_per_sec:.4f} img/s device={jax.devices()[0]}",
         file=sys.stderr,

@@ -28,6 +28,7 @@ def base_config() -> ml_collections.ConfigDict:
     training.log_freq = 250
     training.eval_freq = 2500
     training.visualization_callback = "base"
+    training.visualization_freq = 0  # 0 -> follow snapshot_freq
     training.show_evolution = False
     training.likelihood_weighting = True
     training.continuous = True

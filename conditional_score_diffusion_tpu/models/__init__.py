@@ -114,6 +114,8 @@ def init_model_shapes_only(config, rng, scale: float = 0.02) -> Tuple[Any, Dict]
 from . import fcn  # noqa: E402,F401
 from . import ddpm  # noqa: E402,F401
 from . import ncsnpp  # noqa: E402,F401
+from . import ncsnv2  # noqa: E402,F401
+from . import ddpm3d  # noqa: E402,F401
 
 __all__ = [
     "register_model",

@@ -21,20 +21,40 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..sde import VESDE, VPSDE, batch_mul, is_multispeed, subVPSDE
 
 
-def get_model_fn(module, params, train: bool = False, rngs: Optional[dict] = None) -> Callable:
+def get_model_fn(
+    module,
+    params,
+    train: bool = False,
+    rngs: Optional[dict] = None,
+    compute_dtype: Optional[Any] = None,
+) -> Callable:
     """Raw apply function ``model_fn(inputs, labels)`` (reference `models/utils.py:123-152`).
 
     ``inputs`` may be an array or a dict of arrays for paired models.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): cast params + inputs so every
+    conv/matmul runs on the MXU in low precision (XLA accumulates conv
+    matmuls in f32; the spatial attention einsums force f32 accumulation
+    explicitly).  Output is cast back to f32 — the score division and all
+    sampler math stay full precision.
     """
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
 
     def model_fn(inputs, labels):
+        if compute_dtype is not None:
+            inputs = jax.tree.map(lambda x: x.astype(compute_dtype), inputs)
         variables = {"params": params}
-        return module.apply(variables, inputs, labels, train=train, rngs=rngs if train else None)
+        out = module.apply(variables, inputs, labels, train=train, rngs=rngs if train else None)
+        if compute_dtype is not None:
+            out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        return out
 
     return model_fn
 
@@ -71,6 +91,7 @@ def get_score_fn(
     train: bool = False,
     continuous: bool = False,
     rngs: Optional[dict] = None,
+    compute_dtype: Optional[Any] = None,
 ) -> Callable:
     """Return ``score_fn(inputs, t)`` matching reference `models/utils.py:156-267`.
 
@@ -78,7 +99,7 @@ def get_score_fn(
     ``{'x': ..., 'y': ...}`` (conditional paired models).  ``t`` is a
     per-batch time vector in ``[0, T]``.
     """
-    model_fn = get_model_fn(module, params, train=train, rngs=rngs)
+    model_fn = get_model_fn(module, params, train=train, rngs=rngs, compute_dtype=compute_dtype)
 
     if conditional:
         if is_multispeed(sde):

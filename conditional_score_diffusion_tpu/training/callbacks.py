@@ -1,0 +1,252 @@
+"""Observability callbacks: sampling visualizations during training.
+
+Reference: `lightning_callbacks/` registry (`lightning_callbacks/utils.py:2-40`)
+with entries configuration / decreasing_variance_configuration / ema / base /
+GradientVisualization / 2D / paired / test_paired / haar_multiscale / ...
+
+Design note: the reference's `configuration`, `decreasing_variance_
+configuration` and `ema` callbacks mutate trainer state every batch
+(`callbacks.py:9-133`); in this framework those behaviors live *inside* the
+jitted train step (SDE factory, sigma_y schedule, EMA update), so the
+corresponding registry entries are no-op markers kept for config
+compatibility.  The visualization callbacks below are genuinely host-side:
+they sample with current EMA params on a schedule and write image grids /
+scatter plots / evolution videos to TensorBoard (same tags as the
+reference).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import registry
+
+register_callback = registry.callbacks.register
+get_callback = registry.callbacks.get
+
+
+def image_grid(images: np.ndarray, nrow: Optional[int] = None) -> np.ndarray:
+    """[B,H,W,C] in [0,1] -> one [H',W',C] grid (torchvision make_grid equivalent)."""
+    B, H, W, C = images.shape
+    nrow = nrow or int(math.ceil(math.sqrt(B)))
+    ncol = int(math.ceil(B / nrow))
+    grid = np.ones((ncol * H, nrow * W, C), dtype=np.float32)
+    for i in range(B):
+        r, c = divmod(i, nrow)
+        grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = np.clip(images[i], 0, 1)
+    return grid
+
+
+def scatter_figure(points: np.ndarray, title: str = "samples"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    plt.scatter(points[:, 0], points[:, 1], s=3)
+    plt.title(title)
+    return fig
+
+
+def _log_image(trainer, tag: str, grid_hwc: np.ndarray, step: int):
+    if trainer.writer is not None:
+        trainer.writer.add_image(tag, np.transpose(grid_hwc, (2, 0, 1)), step)
+
+
+def _log_video(trainer, tag: str, frames_thwc: np.ndarray, step: int, fps: int = 50):
+    """Evolution video (reference `utils.py:create_video`, fps=50)."""
+    if trainer.writer is not None:
+        vid = np.clip(frames_thwc, 0, 1)[None]  # [1,T,H,W,C]
+        vid = np.transpose(vid, (0, 1, 4, 2, 3))  # N,T,C,H,W
+        trainer.writer.add_video(tag, (vid * 255).astype(np.uint8), step, fps=fps)
+
+
+class _FreqGated:
+    def __init__(self, config, fn: Callable):
+        freq = config.training.get("visualization_freq", 0)
+        self.freq = freq or config.training.get("snapshot_freq", 5000)
+        self.fn = fn
+
+    def __call__(self, trainer, step: int):
+        if step % self.freq == 0:
+            self.fn(trainer, step)
+
+
+@register_callback(name="configuration")
+def configuration_callback(config, phase: str = "train"):
+    """No-op marker: SDE/loss configuration happens inside the train step."""
+    return lambda trainer, step: None
+
+
+@register_callback(name="decreasing_variance_configuration")
+def dv_configuration_callback(config, phase: str = "train"):
+    """No-op marker: the sigma_y schedule is evaluated inside the train step
+    and logged by the Trainer."""
+    return lambda trainer, step: None
+
+
+@register_callback(name="ema")
+def ema_callback(config, phase: str = "train"):
+    """No-op marker: EMA is part of the train state."""
+    return lambda trainer, step: None
+
+
+@register_callback(name="base")
+def image_visualization_callback(config, phase: str = "train"):
+    """Sample an image grid on a schedule (reference `callbacks.py:135-161`)."""
+
+    def fn(trainer, step):
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        n = min(16, config.eval.batch_size)
+        shape = _sample_shape(config, n)
+        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        show_evo = config.training.get("show_evolution", False)
+        samples, info = sampling_fn(
+            jax.random.key(step), trainer.state.ema.params, show_evolution=show_evo
+        )
+        _log_image(trainer, "generated_images", image_grid(np.asarray(samples)), step)
+        if show_evo and "evolution" in info:
+            evo = np.asarray(info["evolution"])[:, 0]  # first sample over time
+            _log_video(trainer, "generation_evolution", evo, step)
+
+    return _FreqGated(config, fn)
+
+
+@register_callback(name="2D")
+def two_d_visualization_callback(config, phase: str = "train"):
+    """Scatter plot of 2-D samples (reference `callbacks.py:185-224`)."""
+
+    def fn(trainer, step):
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        sampling_fn = task.sampling_fn((512, 2), p_steps=min(200, config.model.num_scales))
+        samples, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params)
+        if trainer.writer is not None:
+            trainer.writer.add_figure(
+                "samples_2d", scatter_figure(np.asarray(samples)), step
+            )
+
+    return _FreqGated(config, fn)
+
+
+@register_callback(name="GradientVisualization")
+def gradient_visualization_callback(config, phase: str = "train"):
+    """Score-norm-vs-t curve (reference `callbacks.py:165-183`)."""
+
+    def fn(trainer, step):
+        from ..models.wrappers import get_score_fn
+        from ..sde import build_sde
+
+        sde, _ = build_sde(config)
+        score_fn = get_score_fn(
+            sde, trainer.module, trainer.state.ema.params,
+            conditional=False, train=False, continuous=config.training.continuous,
+        )
+        shape = _sample_shape(config, 16)
+        rng = jax.random.key(step)
+        ts = np.linspace(1e-3, 1.0, 20)
+        norms = []
+        for t in ts:
+            vec_t = jnp.full((shape[0],), float(t))
+            x = sde.prior_sampling(jax.random.fold_in(rng, int(t * 1e3)), shape)
+            s = score_fn(x, vec_t)
+            norms.append(float(jnp.mean(jnp.linalg.norm(s.reshape(s.shape[0], -1), axis=-1))))
+        if trainer.writer is not None:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure()
+            plt.plot(ts, norms)
+            plt.xlabel("t")
+            plt.ylabel("mean score norm")
+            trainer.writer.add_figure("score_norm_vs_t", fig, step)
+
+    return _FreqGated(config, fn)
+
+
+@register_callback(name="paired")
+def paired_visualization_callback(config, phase: str = "train"):
+    """y | sample | ground-truth grids (reference `PairedCallback.py:41-92`)."""
+
+    def fn(trainer, step):
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        batch = next(trainer.datamodule.val_iterator(batch_size=min(8, config.eval.batch_size)))
+        y = jnp.asarray(batch["y"])
+        x_gt = np.asarray(batch["x"])
+        shape = (y.shape[0],) + _xshape(config)
+        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        samples, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params, y)
+        rows = np.concatenate(
+            [np.asarray(y)[..., :3], np.clip(np.asarray(samples), 0, 1), x_gt], axis=2
+        )  # side-by-side y | sample | gt
+        _log_image(trainer, "paired_y_sample_gt", image_grid(rows, nrow=1), step)
+
+    return _FreqGated(config, fn)
+
+
+@register_callback(name="haar_multiscale")
+def haar_multiscale_callback(config, phase: str = "train"):
+    """Band-normalized Haar supergrid (reference `HaarMultiScaleCallback.py:48-62`)."""
+
+    def fn(trainer, step):
+        from ..ops.haar import haar_backward
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        shape = _sample_shape(config, 4)
+        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        coeffs, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params)
+        coeffs = np.asarray(coeffs)
+        C = coeffs.shape[-1] // 4
+        # 2x2 supergrid of the four bands, each min-max normalized
+        bands = [coeffs[..., i * C : (i + 1) * C] for i in range(4)]
+        bands = [(b - b.min()) / (b.max() - b.min() + 1e-8) for b in bands]
+        top = np.concatenate(bands[:2], axis=2)
+        bot = np.concatenate(bands[2:], axis=2)
+        _log_image(trainer, "haar_supergrid", image_grid(np.concatenate([top, bot], axis=1)), step)
+        imgs = np.asarray(haar_backward(jnp.asarray(coeffs)))
+        imgs = (imgs - imgs.min()) / (imgs.max() - imgs.min() + 1e-8)
+        _log_image(trainer, "haar_reconstructed", image_grid(imgs), step)
+
+    return _FreqGated(config, fn)
+
+
+def _xshape(config):
+    if "shape_x" in config.data:
+        c, h, w = config.data.shape_x
+        return (h, w, c)
+    c, *spatial = config.data.shape
+    return tuple(spatial) + (c,)
+
+
+def _sample_shape(config, n):
+    return (n,) + _xshape(config)
+
+
+def get_callbacks(config, phase: str = "train") -> List[Callable]:
+    """Reference `lightning_callbacks/utils.py:24-40`: assemble the callback
+    list for a phase from the config."""
+    if phase != "train":
+        return []  # test flow is eval/harness.py
+    names = ["configuration", "ema"]
+    from .schedules import is_decreasing_variance
+
+    if is_decreasing_variance(config):
+        names[0] = "decreasing_variance_configuration"
+    viz = config.training.get("visualization_callback", None)
+    if viz and viz in registry.callbacks:
+        names.append(viz)
+    return [get_callback(n)(config, phase) for n in names]

@@ -47,6 +47,10 @@ class Trainer:
         rng = jax.random.key(config.seed)
         self.module, params = init_model(config, rng)
 
+        from .tasks import create_task
+
+        self.task = create_task(config, self.module)
+
         train_step, tx = make_train_step(config, self.module)
         self.state = create_train_state(config, params, tx)
         self.train_step = shard_train_step(train_step, self.mesh)
@@ -88,13 +92,19 @@ class Trainer:
         for i, batch in enumerate(self.datamodule.val_iterator()):
             if i >= 8:  # bounded eval pass
                 break
-            gbatch = local_batch_to_global(batch, self.mesh)
+            batch = self.task.prepare_batch(batch)
+            gbatch = local_batch_to_global(np.asarray(batch) if not isinstance(batch, dict)
+                                           else batch, self.mesh)
             m = self.eval_step(self.state, gbatch, jax.random.fold_in(rng, i))
             losses.append(float(m["eval_loss"]))
         return float(np.mean(losses)) if losses else float("nan")
 
-    def fit(self, max_steps: Optional[int] = None, callbacks=()) -> Dict[str, Any]:
+    def fit(self, max_steps: Optional[int] = None, callbacks=None) -> Dict[str, Any]:
         config = self.config
+        if callbacks is None:
+            from .callbacks import get_callbacks
+
+            callbacks = get_callbacks(config, phase="train")
         n_iters = max_steps if max_steps is not None else config.training.n_iters
         log_freq = config.training.get("log_freq", 250)
         eval_freq = config.training.get("eval_freq", 2500)
@@ -107,8 +117,9 @@ class Trainer:
 
         start = int(self.state.step)
         for step in range(start, n_iters):
-            batch = next(train_iter)
-            gbatch = local_batch_to_global(batch, self.mesh)
+            batch = self.task.prepare_batch(next(train_iter))
+            gbatch = local_batch_to_global(np.asarray(batch) if not isinstance(batch, dict)
+                                           else batch, self.mesh)
             self.state, metrics = self.train_step(self.state, gbatch, rng)
 
             if (step + 1) % log_freq == 0 or step == start:
@@ -132,7 +143,10 @@ class Trainer:
                 self.ckpt.save(int(self.state.step), self.state, force=True)
 
             for cb in callbacks:
-                cb(self, step + 1)
+                try:
+                    cb(self, step + 1)
+                except Exception as e:  # visualization must never kill training
+                    print(f"[callback] {type(e).__name__}: {e}", flush=True)
 
         self.ckpt.wait()
         return history
