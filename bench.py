@@ -92,7 +92,9 @@ def main():
     for i in range(reps):
         t0 = time.perf_counter()
         out = fn(jax.random.key(i + 1))
-        out.block_until_ready()
+        # force a real device sync (block_until_ready alone has been observed
+        # not to block under tunneled PJRT backends)
+        float(out.mean())
         times.append(time.perf_counter() - t0)
     dt = min(times)
     imgs_per_sec = batch / dt

@@ -23,5 +23,7 @@ def create_datamodule(config):
 from . import synthetic  # noqa: E402,F401
 from . import pkl_datasets  # noqa: E402,F401
 from . import image_folder  # noqa: E402,F401
+from . import paired  # noqa: E402,F401
+from . import sr_multiscale  # noqa: E402,F401
 
 __all__ = ["register_datamodule", "get_datamodule", "create_datamodule"]

@@ -15,6 +15,7 @@ from .pc import (
     get_pc_sampler,
     get_sampling_fn,
 )
+from .controllable import get_pc_colorizer
 from .ode import get_ode_sampler
 from .likelihood import get_likelihood_fn
 
@@ -29,6 +30,7 @@ __all__ = [
     "get_sampling_fn",
     "get_conditional_sampling_fn",
     "get_inpainting_fn",
+    "get_pc_colorizer",
     "get_ode_sampler",
     "get_likelihood_fn",
 ]

@@ -1,0 +1,9 @@
+"""sigma_max_y interpolation sweep point: sigma_max_y = 0.01 (CMDE)."""
+
+from conditional_score_diffusion_tpu.configs.celeba_sr import celeba_sr_160_config
+
+
+def get_config():
+    config = celeba_sr_160_config("ours_NDV")
+    config.model.sigma_max_y = 0.01
+    return config

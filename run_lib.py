@@ -14,7 +14,12 @@ from conditional_score_diffusion_tpu.training import trainer as trainer_lib
 
 
 def train(config, log_path: str, checkpoint_path: Optional[str] = None):
-    """Reference `run_lib.train`."""
+    """Reference `run_lib.train` (incl. the optional offline dataset build,
+    reference `run_lib.py:34-35`)."""
+    if config.data.get("create_dataset", False):
+        from conditional_score_diffusion_tpu.data.builder import create_dataset
+
+        create_dataset(config)
     experiment = config.data.get("dataset", "experiment") or "experiment"
     log_dir = os.path.join(log_path, experiment)
     return trainer_lib.train(config, log_dir, checkpoint_path)
