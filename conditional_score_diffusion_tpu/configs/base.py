@@ -8,6 +8,7 @@ values are composed rather than copy-pasted per experiment.
 from __future__ import annotations
 
 import ml_collections
+from ml_collections import config_dict
 
 
 def base_config() -> ml_collections.ConfigDict:
@@ -54,8 +55,10 @@ def base_config() -> ml_collections.ConfigDict:
     evaluate.evaluation_metrics = ["lpips", "psnr", "ssim", "consistency", "diversity"]
     evaluate.predictor = "default"
     evaluate.corrector = "default"
-    evaluate.p_steps = "default"
-    evaluate.c_steps = "default"
+    # p_steps/c_steps take 'default' or an int (object-typed so CLI/test
+    # overrides with ints are legal under ml_collections type locking)
+    evaluate.p_steps = config_dict.FieldReference("default", field_type=object)
+    evaluate.c_steps = config_dict.FieldReference("default", field_type=object)
     evaluate.snr = [0.15]
     evaluate.denoise = True
     evaluate.use_path = False

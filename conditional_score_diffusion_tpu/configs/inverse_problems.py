@@ -45,6 +45,11 @@ _TASK_DEFAULTS = {
 
 def inverse_problem_config(task: str, approach: str):
     """task in _TASK_DEFAULTS; approach in {'ours_NDV','ours_DV','song','sr3'}."""
+    if task not in _TASK_DEFAULTS:
+        raise KeyError(
+            f"task {task!r} not in {sorted(_TASK_DEFAULTS)}; for super-resolution "
+            "use configs.celeba_sr.celeba_sr_160_config"
+        )
     d = _TASK_DEFAULTS[task]
     config = base_config()
 

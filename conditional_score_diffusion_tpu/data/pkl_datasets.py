@@ -22,6 +22,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from . import register_datamodule
+from .native import assemble_batch
 from .degradations import (
     bicubic_resize_np,
     grayscale,
@@ -113,6 +114,16 @@ class LRHRPKLDataModule(_PKLBase):
         lrs, hrs = self.images[phase]["lr"], self.images[phase]["hr"]
 
         def make_batch(idx, rng):
+            if not use_crop and not use_rot:
+                # fast path: u8 -> f32 batch assembly (+joint flip, +NN
+                # upsample of lr) in the GIL-released C++ extension
+                flips = (rng.random(len(idx)) < 0.5).astype(np.uint8) if use_flip else None
+                hr_list = [hrs[i] for i in idx]
+                lr_list = [lrs[i] for i in idx]
+                up = (hr_list[0].shape[0] // lr_list[0].shape[0]) if upscale_lr else 1
+                x = assemble_batch(hr_list, up=1, flips=flips)
+                y = assemble_batch(lr_list, up=up, flips=flips)
+                return {"x": x, "y": y}
             xs, ys = [], []
             for i in idx:
                 hr, lr = hrs[i], lrs[i]
@@ -173,13 +184,8 @@ class GeneralPKLDataModule(_PKLBase):
         images = self.images[phase]
 
         def make_batch(idx, rng):
-            xs = []
-            for i in idx:
-                hr = images[i].astype(np.float32) / 255.0
-                if use_flip and rng.random() < 0.5:
-                    hr = np.ascontiguousarray(hr[:, ::-1, :])
-                xs.append(hr)
-            x = np.stack(xs)
+            flips = (rng.random(len(idx)) < 0.5).astype(np.uint8) if use_flip else None
+            x = assemble_batch([images[i] for i in idx], flips=flips)
             if x.shape[1] != image_size:
                 x = bicubic_resize_np(x, image_size)
 

@@ -111,7 +111,9 @@ class Trainer:
         snapshot_freq = config.training.get("snapshot_freq", 5000)
 
         rng = jax.random.key(config.seed + 1)
-        train_iter = self.datamodule.train_iterator()
+        from ..data.native import PrefetchIterator
+
+        train_iter = PrefetchIterator(self.datamodule.train_iterator(), depth=2)
         history = {"train_loss": [], "eval_loss": []}
         t_last = time.time()
 
