@@ -188,6 +188,13 @@ def run_test(config, log_path: str, checkpoint_path: Optional[str] = None) -> Di
         images_tested += x_gt.shape[0]
         print(f"[test] batch {batch_idx} done ({images_tested} images)", flush=True)
 
+    # optional bits/dim over the test split (reference eval.enable_bpd,
+    # `configs/default_cifar10_configs.py:37-38`)
+    if evalc.get("enable_bpd", False) and "conditioning_approach" not in config.training:
+        from .bpd import evaluate_bpd
+
+        results["bpd"] = evaluate_bpd(config, module, params, datamodule)
+
     metrics_dir = os.path.join(base, "test_metrics")
     Path(metrics_dir).mkdir(parents=True, exist_ok=True)
     out_file = os.path.join(
