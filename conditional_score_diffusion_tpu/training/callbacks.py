@@ -224,6 +224,34 @@ def haar_multiscale_callback(config, phase: str = "train"):
     return _FreqGated(config, fn)
 
 
+@register_callback(name="paired3D")
+def paired3d_visualization_callback(config, phase: str = "train"):
+    """Volume visualization: middle slices along the three axes of
+    y | sample | ground truth (reference `PairedCallback.py:261-349`)."""
+
+    def fn(trainer, step):
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        batch = next(trainer.datamodule.val_iterator(batch_size=2))
+        y = jnp.asarray(batch["y"])
+        x_gt = np.asarray(batch["x"])
+        shape = (y.shape[0],) + _xshape(config)
+        sampling_fn = task.sampling_fn(shape, p_steps=min(100, config.model.num_scales))
+        samples, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params, y)
+        samples = np.clip(np.asarray(samples), 0, 1)
+        # vols: [B, D, H, W, C]; middle slice per axis
+        for axis, name in [(1, "axial"), (2, "coronal"), (3, "sagittal")]:
+            mid = samples.shape[axis] // 2
+            sl = lambda v: np.take(v, mid, axis=axis)
+            rows = np.concatenate([sl(np.asarray(y)), sl(samples), sl(x_gt)], axis=2)
+            if rows.shape[-1] == 1:
+                rows = np.repeat(rows, 3, axis=-1)
+            _log_image(trainer, f"paired3D_{name}", image_grid(rows, nrow=1), step)
+
+    return _FreqGated(config, fn)
+
+
 def _xshape(config):
     if "shape_x" in config.data:
         c, h, w = config.data.shape_x
