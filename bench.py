@@ -40,7 +40,10 @@ def main():
     p_steps = int(os.environ.get("BENCH_P_STEPS", "1000"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[dtype_name]
+    dtypes = {"bfloat16": jnp.bfloat16, "float32": None}
+    if dtype_name not in dtypes:
+        raise SystemExit(f"BENCH_DTYPE must be one of {sorted(dtypes)}, got {dtype_name!r}")
+    compute_dtype = dtypes[dtype_name]
 
     config = _flagship_config()
     module, params = init_model_shapes_only(config, jax.random.key(0))

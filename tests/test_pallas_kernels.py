@@ -41,3 +41,21 @@ def test_fused_leaky_relu_pallas_matches_jnp():
     want = fused_leaky_relu(x, b)
     got = fused_leaky_relu_pallas(x, b, interpret=True)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_conv3x3_pallas_matches_xla_interpret():
+    from conditional_score_diffusion_tpu.ops.conv_pallas import conv3x3_pallas, _xla_conv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    np.testing.assert_allclose(
+        conv3x3_pallas(x, w, True), _xla_conv(x, w), atol=1e-4
+    )
+    # backward agrees with XLA's conv VJP
+    f = lambda x, w: jnp.sum(conv3x3_pallas(x, w, True) ** 2)
+    g = lambda x, w: jnp.sum(_xla_conv(x, w) ** 2)
+    gx1, gw1 = jax.grad(f, (0, 1))(x, w)
+    gx2, gw2 = jax.grad(g, (0, 1))(x, w)
+    np.testing.assert_allclose(gx1, gx2, atol=1e-3)
+    np.testing.assert_allclose(gw1, gw2, atol=1e-3)
