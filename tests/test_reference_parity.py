@@ -271,7 +271,7 @@ def test_lightning_checkpoint_loader(tmp_path):
     c = ml_collections.ConfigDict()
     c.data = ml_collections.ConfigDict(dict(effective_image_size=16, centered=False))
     c.model = ml_collections.ConfigDict(
-        dict(name="ddpm_paired", nf=16, ch_mult=(1, 2), num_res_blocks=1,
+        dict(name="ddpm_paired", nf=32, ch_mult=(1, 2), num_res_blocks=1,
              attn_resolutions=(8,), dropout=0.0, resamp_with_conv=True,
              conditional=True, nonlinearity="swish",
              input_channels=6, output_channels=6)
