@@ -200,4 +200,12 @@ def load_reference_lightning_checkpoint(path: str, config) -> Dict:
         return port_reference_ddpm_paired(sd, config)
     if name == "ddpm":
         return port_reference_ddpm_state_dict(sd, config)
+    if name == "ncsnpp":
+        from .torch_port_ncsnpp import port_reference_ncsnpp_state_dict
+
+        return port_reference_ncsnpp_state_dict(sd, config)
+    if name in ("ncsnpp_paired", "ncsnpp_paired_SR3", "ncsnpp_2xSR", "ncsnpp_KxSR"):
+        from .torch_port_ncsnpp import port_reference_ncsnpp_paired
+
+        return port_reference_ncsnpp_paired(sd, config)
     raise NotImplementedError(f"porter for model {name!r} not implemented yet")
