@@ -1,0 +1,123 @@
+"""End-to-end sampling parity: the reference's torch PC sampler vs this
+framework's scan sampler, with IDENTICAL model weights.
+
+RNG streams differ across frameworks, so the comparison is distributional:
+for a tiny DDPM scoring a low-dimensional image space, the two samplers'
+output statistics (per-pixel mean field, global std, pairwise channel
+correlations) must agree.  This is the FID-parity precursor that can run
+without trained checkpoints.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+
+from test_reference_parity import _stub_modules
+
+
+def _import_reference(mod):
+    _stub_modules()
+    sys.path.insert(0, REF)
+    try:
+        module = __import__(mod, fromlist=["*"])
+        return module
+    finally:
+        sys.path.pop(0)
+
+
+def _tiny_config():
+    c = ml_collections.ConfigDict()
+    c.training = ml_collections.ConfigDict(dict(continuous=True, sde="vesde"))
+    c.sampling = ml_collections.ConfigDict(
+        dict(method="pc", predictor="reverse_diffusion", corrector="langevin",
+             n_steps_each=1, noise_removal=True, probability_flow=False, snr=0.16)
+    )
+    c.data = ml_collections.ConfigDict(
+        dict(effective_image_size=8, centered=False, num_channels=3, shape=[3, 8, 8])
+    )
+    c.model = ml_collections.ConfigDict(
+        dict(name="ddpm", nf=32, ch_mult=(1, 2), num_res_blocks=1,
+             attn_resolutions=(4,), dropout=0.0, resamp_with_conv=True,
+             conditional=True, nonlinearity="swish", num_scales=100,
+             sigma_min=0.05, sigma_max=5.0,
+             input_channels=3, output_channels=3)
+    )
+    return c
+
+
+def test_pc_sampler_distribution_parity():
+    ref_ddpm = _import_reference("models.ddpm")
+    ref_sde_lib = _import_reference("sde_lib")
+    ref_unc = _import_reference("sampling.unconditional")
+    ref_pred = _import_reference("sampling.predictors")
+    ref_corr = _import_reference("sampling.correctors")
+
+    c = _tiny_config()
+    tm = ref_ddpm.DDPM(c)
+    tm.eval()
+    tm.device = torch.device("cpu")
+    # reference get_score_fn reads model.embedding_type for unconditional VE
+    # (models/utils.py:251); the torch DDPM class doesn't define it
+    tm.embedding_type = "positional" 
+
+    # ---- reference sampling (torch) ----
+    torch.manual_seed(0)
+    r_sde = ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=5.0, N=100)
+    B = 128
+    ref_sampler = ref_unc.get_pc_sampler(
+        sde=r_sde, shape=(B, 3, 8, 8),
+        predictor=ref_pred.get_predictor("reverse_diffusion"),
+        corrector=ref_corr.get_corrector("langevin"),
+        snr=0.16, p_steps=100, c_steps=1, probability_flow=False,
+        continuous=True, denoise=True, eps=1e-5,
+    )
+    with torch.no_grad():
+        ref_samples, _ = ref_sampler(tm)
+    ref_samples = ref_samples.numpy().transpose(0, 2, 3, 1)
+
+    # ---- this framework (identical weights) ----
+    from conditional_score_diffusion_tpu.models.ddpm import DDPM
+    from conditional_score_diffusion_tpu.models.torch_port import (
+        port_reference_ddpm_state_dict,
+    )
+    from conditional_score_diffusion_tpu.models.wrappers import get_score_fn
+    from conditional_score_diffusion_tpu.sampling import get_pc_sampler
+    from conditional_score_diffusion_tpu.sde import VESDE
+
+    fm = DDPM.from_config(c)
+    params = port_reference_ddpm_state_dict(tm.state_dict(), c)
+    o_sde = VESDE(sigma_min=0.05, sigma_max=5.0, N=100)
+    score_fn = get_score_fn(o_sde, fm, params, conditional=False, train=False, continuous=True)
+    sampler = get_pc_sampler(
+        o_sde, (B, 8, 8, 3), "reverse_diffusion", "langevin",
+        snr=0.16, p_steps=100, c_steps=1, denoise=True, eps=1e-5,
+    )
+    our_samples, _ = sampler(jax.random.key(0), score_fn)
+    our_samples = np.asarray(our_samples)
+
+    # ---- distributional comparison ----
+    # With an untrained (random-init) net the output distribution is still a
+    # well-defined pushforward of the prior; both samplers must agree on it.
+    r_mean, o_mean = ref_samples.mean(), our_samples.mean()
+    r_std, o_std = ref_samples.std(), our_samples.std()
+    # global stats within MC error for B=128 x 192 dims
+    np.testing.assert_allclose(o_mean, r_mean, atol=4 * r_std / np.sqrt(128 * 192) * 10)
+    np.testing.assert_allclose(o_std, r_std, rtol=0.1)
+    # per-pixel mean fields correlate strongly (structure from the net)
+    rm = ref_samples.mean(axis=0).ravel()
+    om = our_samples.mean(axis=0).ravel()
+    denom = np.linalg.norm(rm - rm.mean()) * np.linalg.norm(om - om.mean())
+    if denom > 1e-8:
+        corr = float(np.dot(rm - rm.mean(), om - om.mean()) / denom)
+        assert corr > 0.8, f"mean-field correlation {corr}"
