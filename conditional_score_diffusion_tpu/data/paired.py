@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Iterator, List, Optional
+from typing import Optional
 
 import numpy as np
 from PIL import Image

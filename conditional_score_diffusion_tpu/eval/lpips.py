@@ -14,7 +14,7 @@ FileNotFoundError otherwise — callers skip the metric.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

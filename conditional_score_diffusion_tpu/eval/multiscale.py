@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 from ..data import create_datamodule
 from ..models import init_model
 from ..ops.haar import haar_backward
-from ..sde import build_sde
 from ..training.checkpoint import CheckpointManager
 from ..training.state import create_train_state
 from ..training.tasks import create_task

@@ -11,7 +11,7 @@ hyperparameters (VS-CMDE's sigma_y) flow through without retracing.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

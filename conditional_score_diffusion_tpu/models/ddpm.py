@@ -12,7 +12,7 @@ sets ``model.name = 'ddpm_paired'``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

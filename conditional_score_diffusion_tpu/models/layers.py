@@ -11,7 +11,7 @@ simply *is* `jax.nn.initializers.variance_scaling`.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -6,7 +6,7 @@ AttnBlockpp, FIR Upsample/Downsample, ResnetBlockDDPMpp, ResnetBlockBigGANpp).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax

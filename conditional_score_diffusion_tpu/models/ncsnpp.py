@@ -8,7 +8,7 @@ attention at configured resolutions, /sqrt(2) skip rescale.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

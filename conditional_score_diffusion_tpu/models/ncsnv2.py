@@ -12,7 +12,7 @@ weight-ported.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ Conditional{Batch,Instance,Variance,None}Norm2d, InstanceNorm2dPlus
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import flax.linen as nn
 import jax

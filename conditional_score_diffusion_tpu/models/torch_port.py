@@ -19,7 +19,7 @@ and (b) deterministic forward-parity tests against the reference
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ under jit:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

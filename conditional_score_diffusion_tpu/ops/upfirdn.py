@@ -20,7 +20,6 @@ wires grad/grad-grad manually in `op/upfirdn2d.py:19-142`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple, Union
 
 import jax

@@ -8,7 +8,7 @@ modules, datamodules, callbacks, predictors, correctors — see reference
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, Optional
 
 
 class Registry:

@@ -15,9 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental.ode import odeint
 
-from ..sde import batch_mul
-
-
 def get_div_fn(drift_fn: Callable, hutchinson_type: str = "Rademacher") -> Callable:
     """Divergence estimator (reference `likelihood.py:26-42`)."""
 

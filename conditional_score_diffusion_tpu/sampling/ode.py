@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.ode import odeint
 
-from ..sde import batch_mul
 from .predictors import reverse_diffusion
 
 

@@ -19,9 +19,8 @@ harness drive.  The reference's stateful pieces map as:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
-import jax
 import jax.numpy as jnp
 
 from .. import registry
