@@ -27,11 +27,6 @@ from .state import create_train_state
 from .steps import make_eval_step, make_train_step
 
 
-def _to_device_batch(batch, config):
-    """Normalize a datamodule batch: NHWC arrays; paired -> {'x','y'} dict."""
-    return batch
-
-
 class Trainer:
     def __init__(self, config, log_path: str, checkpoint_path: Optional[str] = None):
         self.config = config
