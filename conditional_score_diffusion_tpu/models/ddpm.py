@@ -162,6 +162,49 @@ class _PairedBase(nn.Module):
         return cls(unet=DDPM.from_config(config))
 
 
+@register_model(name="ddpm_multi_speed_haar")
+class DDPMMultiSpeedHaar(_PairedBase):
+    """Multi-speed-Haar DDPM: consumes/produces dicts of Haar coefficients,
+    running the U-Net in image space.
+
+    The reference registers this model but its `forward` is unfinished —
+    `convert_to_haar_space` builds a dict and never returns it
+    (`models/ddpm.py:238-249`, SURVEY.md §7.5) — so this is the working
+    realization of its evident intent: haar dict -> image -> U-Net ->
+    image -> haar dict.
+    """
+
+    max_haar_depth: int = 1
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(
+            unet=DDPM.from_config(config),
+            max_haar_depth=config.data.get("max_haar_depth", 1),
+        )
+
+    @nn.compact
+    def __call__(self, haar_x: dict, cond, train: bool = False):
+        from ..ops.haar import haar_backward, haar_forward
+
+        # dict {'d1'..'dK', 'aK'} of detail/approx bands -> image
+        depth = max(int(k[1:]) for k in haar_x if k.startswith("a"))
+        a = haar_x[f"a{depth}"]
+        for i in range(depth, 0, -1):
+            a = haar_backward(jnp.concatenate([a, haar_x[f"d{i}"]], axis=-1))
+        out = self.unet(a, cond, train)
+        # image -> haar dict at the same depth
+        result = {}
+        x = out
+        C = out.shape[-1]
+        for i in range(1, depth + 1):
+            z = haar_forward(x)
+            x = z[..., :C]
+            result[f"d{i}"] = z[..., C:]
+        result[f"a{depth}"] = x
+        return result
+
+
 @register_model(name="ddpm_paired")
 class DDPMPaired(_PairedBase):
     """Joint score of (x, y): concat on channels, split the output

@@ -111,8 +111,19 @@ class Trainer:
         history = {"train_loss": [], "eval_loss": []}
         t_last = time.time()
 
+        # SURVEY.md §5: the reference has no tracing; here a device trace can
+        # be captured around training steps via CSDT_PROFILE_DIR.
+        profile_dir = os.environ.get("CSDT_PROFILE_DIR")
+        profile_steps = int(os.environ.get("CSDT_PROFILE_STEPS", "10"))
+
         start = int(self.state.step)
         for step in range(start, n_iters):
+            if profile_dir and step == start + 2:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and step == start + 2 + profile_steps:
+                jax.profiler.stop_trace()
+                print(f"[profiler] trace written to {profile_dir}", flush=True)
+                profile_dir = None
             batch = self.task.prepare_batch(next(train_iter))
             gbatch = local_batch_to_global(np.asarray(batch) if not isinstance(batch, dict)
                                            else batch, self.mesh)

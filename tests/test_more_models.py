@@ -126,3 +126,32 @@ def test_bilinear_align_corners_against_torch():
     ).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(bilinear_resize_align_corners(jnp.asarray(x), (11, 13)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ddpm_multi_speed_haar_roundtrip_shapes():
+    """The working realization of the reference's unfinished
+    ddpm_multi_speed_haar: haar dict in -> haar dict out, invertibly
+    consistent shapes at depth 2."""
+    from conditional_score_diffusion_tpu.ops.haar import haar_forward
+    from test_models import tiny_ddpm_config
+
+    c = tiny_ddpm_config("ddpm_multi_speed_haar")
+    c.model.output_channels = 3
+    c.model.input_channels = 3
+    c.data.max_haar_depth = 2
+    m = get_model("ddpm_multi_speed_haar").from_config(c)
+
+    img = jnp.ones((2, 16, 16, 3))
+    z1 = haar_forward(img)
+    a1, d1 = z1[..., :3], z1[..., 3:]
+    z2 = haar_forward(a1)
+    a2, d2 = z2[..., :3], z2[..., 3:]
+    haar_x = {"d1": d1, "d2": d2, "a2": a2}
+
+    t = jnp.zeros((2,))
+    params = m.init(jax.random.key(0), haar_x, t)["params"]
+    out = m.apply({"params": params}, haar_x, t)
+    assert set(out) == {"d1", "d2", "a2"}
+    assert out["d1"].shape == d1.shape
+    assert out["d2"].shape == d2.shape
+    assert out["a2"].shape == a2.shape
