@@ -51,7 +51,7 @@ class InstanceNorm2dPlus(nn.Module):
         gamma = self.param("gamma", _scale_one_init, (self.features,))
         means = jnp.mean(x, axis=(1, 2))  # [B, C]
         m = jnp.mean(means, axis=-1, keepdims=True)
-        v = jnp.var(means, axis=-1, keepdims=True)
+        v = jnp.var(means, axis=-1, keepdims=True, ddof=1)  # torch.var is unbiased
         means = (means - m) / jnp.sqrt(v + 1e-5)
         h = _instance_norm(x)
         h = h + means[:, None, None, :] * alpha
@@ -99,7 +99,7 @@ class ConditionalInstanceNorm2dPlus(nn.Module):
     def __call__(self, x, y):
         means = jnp.mean(x, axis=(1, 2))
         m = jnp.mean(means, axis=-1, keepdims=True)
-        v = jnp.var(means, axis=-1, keepdims=True)
+        v = jnp.var(means, axis=-1, keepdims=True, ddof=1)  # torch.var is unbiased
         means = (means - m) / jnp.sqrt(v + 1e-5)
         h = _instance_norm(x)
         if self.bias:
