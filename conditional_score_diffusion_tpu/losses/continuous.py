@@ -54,7 +54,11 @@ def get_general_sde_loss_fn(
                 "Multi-speed diffusion supports only likelihood weighting "
                 "(reference losses.py:118,149)."
             )
-            keys = sorted(batch.keys())
+            # Only SDE domains are diffused; batches may carry extra keys
+            # (e.g. the inpainting 'mask', `pkl_datasets.py:199`) that the
+            # loss must ignore (reference losses.py:116-160 iterates the
+            # multi-speed SDE's domains).
+            keys = sorted(k for k in batch.keys() if k in sde)
             first = keys[0]
             B = batch[first].shape[0]
             rng_t, rng = jax.random.split(rng)

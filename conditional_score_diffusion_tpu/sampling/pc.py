@@ -154,7 +154,8 @@ def get_pc_conditional_sampler(
                 y_t = y_mean + batch_mul(y_std, jax.random.normal(rk, y.shape))
                 x, x_mean = predictor_fn(rp, x, vec_t, y=y_t, **predictor_kwargs)
                 x, x_mean = corrector_fn(rc, x, vec_t, y=y_t, **corrector_kwargs)
-                return (x, x_mean, y_t, rng), (x if show_evolution else None)
+                out = {"x": x, "y": y_t} if show_evolution else None
+                return (x, x_mean, y_t, rng), out
 
             (x, x_mean, _, _), evo = jax.lax.scan(body, (x, x, y_tplustau, rng), timesteps)
         elif multispeed:
@@ -171,7 +172,8 @@ def get_pc_conditional_sampler(
                 # Predictor with another fresh perturbation.
                 y_p = _perturb_y(ryp, y, vec_t)
                 x, x_mean = predictor_fn(rp, x, vec_t, y=y_p, **predictor_kwargs)
-                return (x, x_mean, rng), (x if show_evolution else None)
+                out = {"x": x, "y": y_p} if show_evolution else None
+                return (x, x_mean, rng), out
 
             (x, x_mean, _), evo = jax.lax.scan(body, (x, x, rng), timesteps)
         else:
@@ -183,7 +185,8 @@ def get_pc_conditional_sampler(
                 vec_t = jnp.full((B,), t)
                 x, x_mean = corrector_fn(rc, x, vec_t, y=y, **corrector_kwargs)
                 x, x_mean = predictor_fn(rp, x, vec_t, y=y, **predictor_kwargs)
-                return (x, x_mean, rng), (x if show_evolution else None)
+                out = {"x": x, "y": y} if show_evolution else None
+                return (x, x_mean, rng), out
 
             (x, x_mean, _), evo = jax.lax.scan(body, (x, x, rng), timesteps)
 

@@ -60,11 +60,23 @@ def _log_image(trainer, tag: str, grid_hwc: np.ndarray, step: int):
 
 
 def _log_video(trainer, tag: str, frames_thwc: np.ndarray, step: int, fps: int = 50):
-    """Evolution video (reference `utils.py:create_video`, fps=50)."""
-    if trainer.writer is not None:
-        vid = np.clip(frames_thwc, 0, 1)[None]  # [1,T,H,W,C]
-        vid = np.transpose(vid, (0, 1, 4, 2, 3))  # N,T,C,H,W
+    """Evolution video (reference `utils.py:create_video`, fps=50).
+
+    tensorboardX's add_video needs moviepy; without it we degrade to a
+    filmstrip image (<=16 subsampled frames side by side) under the same tag
+    so the trajectory is still visible in air-gapped environments."""
+    if trainer.writer is None:
+        return
+    frames = np.clip(frames_thwc, 0, 1)
+    try:
+        import moviepy  # noqa: F401
+
+        vid = np.transpose(frames[None], (0, 1, 4, 2, 3))  # N,T,C,H,W
         trainer.writer.add_video(tag, (vid * 255).astype(np.uint8), step, fps=fps)
+    except ImportError:
+        stride = max(1, frames.shape[0] // 16)
+        strip = np.concatenate(list(frames[::stride]), axis=1)  # [H, T'*W, C]
+        _log_image(trainer, f"{tag}/filmstrip", strip, step)
 
 
 class _FreqGated:
@@ -177,7 +189,11 @@ def gradient_visualization_callback(config, phase: str = "train"):
 
 @register_callback(name="paired")
 def paired_visualization_callback(config, phase: str = "train"):
-    """y | sample | ground-truth grids (reference `PairedCallback.py:41-92`)."""
+    """y | sample | ground-truth grids (reference `PairedCallback.py:41-92`);
+    with ``training.show_evolution`` also logs the joint y|x sampling
+    trajectory as a video (reference `PairedCallback.py:87-92`)."""
+
+    show_evolution = config.training.get("show_evolution", False)
 
     def fn(trainer, step):
         from .tasks import create_task
@@ -188,18 +204,61 @@ def paired_visualization_callback(config, phase: str = "train"):
         x_gt = np.asarray(batch["x"])
         shape = (y.shape[0],) + _xshape(config)
         sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
-        samples, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params, y)
+        samples, info = sampling_fn(
+            jax.random.key(step), trainer.state.ema.params, y,
+            show_evolution=show_evolution,
+        )
         rows = np.concatenate(
             [np.asarray(y)[..., :3], np.clip(np.asarray(samples), 0, 1), x_gt], axis=2
         )  # side-by-side y | sample | gt
         _log_image(trainer, "paired_y_sample_gt", image_grid(rows, nrow=1), step)
+        if show_evolution and "evolution" in info:
+            frames = _joint_evolution_frames(info["evolution"])
+            _log_video(trainer, "val_joint_evolution", frames, step)
 
     return _FreqGated(config, fn)
 
 
+def _normalise_per_image(x: np.ndarray) -> np.ndarray:
+    """Per-image min-max to [0,1] (reference `PairedCallback.py:13-26`)."""
+    lo = x.min(axis=(1, 2, 3), keepdims=True)
+    hi = x.max(axis=(1, 2, 3), keepdims=True)
+    return (x - lo) / (hi - lo + 1e-8)
+
+
+def _joint_evolution_frames(evolution, max_frames: int = 100) -> np.ndarray:
+    """[T,B,H,W,C] dict {'x','y'} -> [T',gH,gW,3] video frames: per-frame
+    per-image normalization, y|x side by side, gridded
+    (reference `PairedCallback.py:28-40,87-92`)."""
+    ex = np.asarray(evolution["x"])
+    ey = np.asarray(evolution["y"])
+    stride = max(1, ex.shape[0] // max_frames)
+    frames = []
+    for t in range(0, ex.shape[0], stride):
+        joint = np.concatenate(
+            [_normalise_per_image(ey[t])[..., :3], _normalise_per_image(ex[t])[..., :3]],
+            axis=2,
+        )
+        frames.append(image_grid(joint))
+    return np.stack(frames)
+
+
 @register_callback(name="haar_multiscale")
 def haar_multiscale_callback(config, phase: str = "train"):
-    """Band-normalized Haar supergrid (reference `HaarMultiScaleCallback.py:48-62`)."""
+    """Band-normalized Haar supergrid (reference `HaarMultiScaleCallback.py:48-62`);
+    with ``training.show_evolution`` also logs the supergrid trajectory video
+    (reference `HaarMultiScaleCallback.py:66-91`)."""
+
+    show_evolution = config.training.get("show_evolution", False)
+
+    def _supergrid(coeffs: np.ndarray) -> np.ndarray:
+        C = coeffs.shape[-1] // 4
+        # 2x2 supergrid of the four bands, each min-max normalized
+        bands = [coeffs[..., i * C : (i + 1) * C] for i in range(4)]
+        bands = [(b - b.min()) / (b.max() - b.min() + 1e-8) for b in bands]
+        top = np.concatenate(bands[:2], axis=2)
+        bot = np.concatenate(bands[2:], axis=2)
+        return image_grid(np.concatenate([top, bot], axis=1))
 
     def fn(trainer, step):
         from ..ops.haar import haar_backward
@@ -208,18 +267,20 @@ def haar_multiscale_callback(config, phase: str = "train"):
         task = create_task(config, trainer.module)
         shape = _sample_shape(config, 4)
         sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
-        coeffs, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params)
+        coeffs, info = sampling_fn(
+            jax.random.key(step), trainer.state.ema.params,
+            show_evolution=show_evolution,
+        )
         coeffs = np.asarray(coeffs)
-        C = coeffs.shape[-1] // 4
-        # 2x2 supergrid of the four bands, each min-max normalized
-        bands = [coeffs[..., i * C : (i + 1) * C] for i in range(4)]
-        bands = [(b - b.min()) / (b.max() - b.min() + 1e-8) for b in bands]
-        top = np.concatenate(bands[:2], axis=2)
-        bot = np.concatenate(bands[2:], axis=2)
-        _log_image(trainer, "haar_supergrid", image_grid(np.concatenate([top, bot], axis=1)), step)
+        _log_image(trainer, "haar_supergrid", _supergrid(coeffs), step)
         imgs = np.asarray(haar_backward(jnp.asarray(coeffs)))
         imgs = (imgs - imgs.min()) / (imgs.max() - imgs.min() + 1e-8)
         _log_image(trainer, "haar_reconstructed", image_grid(imgs), step)
+        if show_evolution and "evolution" in info:
+            evo = np.asarray(info["evolution"])
+            stride = max(1, evo.shape[0] // 100)
+            frames = np.stack([_supergrid(evo[t]) for t in range(0, evo.shape[0], stride)])
+            _log_video(trainer, "haar_super_grid_evolution", frames, step)
 
     return _FreqGated(config, fn)
 
@@ -240,14 +301,31 @@ def paired3d_visualization_callback(config, phase: str = "train"):
         sampling_fn = task.sampling_fn(shape, p_steps=min(100, config.model.num_scales))
         samples, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params, y)
         samples = np.clip(np.asarray(samples), 0, 1)
-        # vols: [B, D, H, W, C]; middle slice per axis
+        # reconstruction scalar (reference `PairedCallback.py:341-343`)
+        rec = float(np.mean(np.abs(x_gt - samples)))
+        if trainer.writer is not None:
+            trainer.writer.add_scalar("val_rec_loss_pc", rec, step)
+        # vols: [B, D, H, W, C]; middle slice per axis + fly-through videos
+        # (reference `PairedCallback.py:277-329` slices every frame of each
+        # axis into a y | sample | gt grid video)
+        yv, gv = np.asarray(y), x_gt
         for axis, name in [(1, "axial"), (2, "coronal"), (3, "sagittal")]:
             mid = samples.shape[axis] // 2
-            sl = lambda v: np.take(v, mid, axis=axis)
-            rows = np.concatenate([sl(np.asarray(y)), sl(samples), sl(x_gt)], axis=2)
+            sl = lambda v, i=mid: np.take(v, i, axis=axis)
+            rows = np.concatenate([sl(yv), sl(samples), sl(gv)], axis=2)
             if rows.shape[-1] == 1:
                 rows = np.repeat(rows, 3, axis=-1)
             _log_image(trainer, f"paired3D_{name}", image_grid(rows, nrow=1), step)
+            frames = []
+            for i in range(samples.shape[axis]):
+                f = np.concatenate(
+                    [_normalise_per_image(np.take(v, i, axis=axis)) for v in (yv, samples, gv)],
+                    axis=2,
+                )
+                if f.shape[-1] == 1:
+                    f = np.repeat(f, 3, axis=-1)
+                frames.append(image_grid(f, nrow=1))
+            _log_video(trainer, f"paired_video_dim_{name}", np.stack(frames), step, fps=10)
 
     return _FreqGated(config, fn)
 

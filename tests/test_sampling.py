@@ -111,6 +111,43 @@ class TestConditionalPC:
         # y passed to score must be a *perturbed* tracer, not the clean zeros
         assert seen, "score never called"
 
+    def test_conditional_evolution_is_joint_dict(self):
+        """show_evolution returns {'x','y'} trajectories (consumed by the
+        paired evolution video, reference PairedCallback.py:87-92)."""
+        sde = self._multispeed()
+        y0 = jnp.array([[1.0], [-1.0]])
+
+        def cond_score(x, y, t):
+            sigma_t = sde["x"].marginal_prob(jnp.zeros(()), t)[1]
+            return -batch_mul(1.0 / (0.05**2 + sigma_t**2), x - 2 * y0)
+
+        for use_path in (False, True):
+            sampler = get_pc_conditional_sampler(
+                sde, (2, 1), "conditional_reverse_diffusion", "conditional_none",
+                snr=0.0, p_steps=8, c_steps=1, denoise=True,
+                use_path=use_path, eps=1e-5,
+            )
+            _, info = sampler(jax.random.key(0), cond_score, y0, show_evolution=True)
+            evo = info["evolution"]
+            assert set(evo) == {"x", "y"}
+            assert evo["x"].shape == (8, 2, 1) and evo["y"].shape == (8, 2, 1)
+            # the y trajectory is perturbed, not the clean y0 repeated
+            assert not np.allclose(np.asarray(evo["y"]), np.asarray(y0)[None])
+
+    def test_evolution_video_frame_builders(self):
+        """Callback helpers turn evolutions into [T,H,W,3] video frames."""
+        from conditional_score_diffusion_tpu.training.callbacks import (
+            _joint_evolution_frames,
+        )
+
+        evo = {
+            "x": np.random.RandomState(0).rand(6, 4, 8, 8, 3).astype(np.float32),
+            "y": np.random.RandomState(1).rand(6, 4, 8, 8, 3).astype(np.float32),
+        }
+        frames = _joint_evolution_frames(evo)
+        assert frames.ndim == 4 and frames.shape[0] == 6 and frames.shape[-1] == 3
+        assert frames.min() >= 0.0 and frames.max() <= 1.0
+
     def test_use_path_mode(self):
         sde = self._multispeed()
         y0 = jnp.array([[1.0], [-1.0]])
