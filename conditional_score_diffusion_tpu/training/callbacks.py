@@ -285,6 +285,106 @@ def haar_multiscale_callback(config, phase: str = "train"):
     return _FreqGated(config, fn)
 
 
+@register_callback(name="conditional_haar_multiscale")
+def conditional_haar_multiscale_callback(config, phase: str = "train"):
+    """DC-conditioned HF sampling visualization (reference
+    `HaarMultiScaleCallback.py:95-122`): sample HF bands given the DC band y,
+    inverse-Haar to image space, log NN-upsampled-DC | sample | GT grid."""
+
+    show_evolution = config.training.get("show_evolution", False)
+
+    def fn(trainer, step):
+        from ..ops.haar import haar_backward
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        batch = next(trainer.datamodule.val_iterator(batch_size=min(4, config.eval.batch_size)))
+        y = jnp.asarray(batch["y"])  # DC coefficients
+        x_gt = jnp.asarray(batch["x"])  # HF coefficients
+        shape = (y.shape[0],) + _xshape(config)
+        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        sampled_hf, _ = sampling_fn(
+            jax.random.key(step), trainer.state.ema.params, y,
+            show_evolution=show_evolution,
+        )
+        orig = np.asarray(haar_backward(jnp.concatenate([y, x_gt], axis=-1)))
+        sampled = np.asarray(haar_backward(jnp.concatenate([y, sampled_hf], axis=-1)))
+        dc_interp = np.asarray(_nearest_up(y, 2))[..., :3]
+        rows = np.concatenate(
+            [_normalise_per_image(v) for v in (dc_interp, sampled, orig)], axis=2
+        )
+        _log_image(trainer, "conditional_haar_samples", image_grid(rows, nrow=1), step)
+
+    return _FreqGated(config, fn)
+
+
+def _sr_visualization(config, factor_fn, tag):
+    """LR(NN-interp) | SR sample | GT grids (reference
+    `HaarMultiScaleCallback.py:124-174`, bicubic_SR and KxSR)."""
+
+    show_evolution = config.training.get("show_evolution", False)
+
+    def fn(trainer, step):
+        from .tasks import create_task
+
+        task = create_task(config, trainer.module)
+        batch = next(trainer.datamodule.val_iterator(batch_size=min(4, config.eval.batch_size)))
+        y = jnp.asarray(batch["y"])
+        x_gt = np.asarray(batch["x"])
+        shape = (y.shape[0],) + _xshape(config)
+        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        samples, _ = sampling_fn(
+            jax.random.key(step), trainer.state.ema.params, y,
+            show_evolution=show_evolution,
+        )
+        factor = factor_fn(config)
+        up_y = np.asarray(_nearest_up(y, factor))
+        rows = np.concatenate(
+            [_normalise_per_image(v) for v in (up_y, np.asarray(samples), x_gt)],
+            axis=2,
+        )
+        _log_image(trainer, tag, image_grid(rows, nrow=1), step)
+
+    return _FreqGated(config, fn)
+
+
+@register_callback(name="bicubic_SR")
+def bicubic_sr_callback(config, phase: str = "train"):
+    return _sr_visualization(config, lambda c: 2, "bicubic_SR_samples")
+
+
+@register_callback(name="KxSR")
+def kx_sr_callback(config, phase: str = "train"):
+    return _sr_visualization(
+        config, lambda c: int(c.data.get("scale", 2)), "KxSR_samples"
+    )
+
+
+@register_callback(name="2DVisualization")
+def two_d_visualization_alias(config, phase: str = "train"):
+    """Reference registry name for the 2-D scatter callback
+    (`callbacks.py:185`)."""
+    return two_d_visualization_callback(config, phase)
+
+
+@register_callback(name="test_paired")
+def test_paired_callback(config, phase: str = "train"):
+    """Reference `PairedCallback.py:94-259` runs the full test harness as a
+    Lightning callback under trainer.test; here --mode test drives
+    `eval/harness.run_test` directly, so at train time this is a no-op
+    marker (configs list it in `eval.callbacks`)."""
+
+    def fn(trainer, step):
+        return None
+
+    return fn
+
+
+def _nearest_up(x, factor):
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * factor, W * factor, C), method="nearest")
+
+
 @register_callback(name="paired3D")
 def paired3d_visualization_callback(config, phase: str = "train"):
     """Volume visualization: middle slices along the three axes of
@@ -353,6 +453,11 @@ def get_callbacks(config, phase: str = "train") -> List[Callable]:
     if is_decreasing_variance(config):
         names[0] = "decreasing_variance_configuration"
     viz = config.training.get("visualization_callback", None)
-    if viz and viz in registry.callbacks:
+    if viz:
+        if viz not in registry.callbacks:
+            raise ValueError(
+                f"Unknown visualization_callback: {viz!r}; registered: "
+                f"{sorted(registry.callbacks.names())}"
+            )
         names.append(viz)
     return [get_callback(n)(config, phase) for n in names]
