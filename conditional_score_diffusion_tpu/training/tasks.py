@@ -103,6 +103,25 @@ class DecreasingVarianceConditionalTask(ConditionalTask):
         return self.sde
 
 
+@register_trainable(name="deprecated_conditional_decreasing_variance")
+class DeprecatedDecreasingVarianceConditionalTask(DecreasingVarianceConditionalTask):
+    """Older single-sigma variant (reference
+    `ConditionalSdeGenerativeModel.py:87-134`): only sigma_max_y is
+    annealed; sigma_min_y stays at its config value."""
+
+    def sde_for_step(self, step):
+        _, smax_y = sigma_y_at_step(self.config, step)
+        sde, _ = build_sde(self.config, sigma_max_y=smax_y)
+        return sde
+
+    def reconfigure(self, step: int):
+        _, smax_y = sigma_y_at_step(self.config, step)
+        self.sde, self.sampling_eps = build_sde(
+            self.config, sigma_max_y=float(smax_y)
+        )
+        return self.sde
+
+
 @register_trainable(name="haar_conditional_decreasing_variance")
 class HaarDecreasingVarianceConditionalTask(DecreasingVarianceConditionalTask):
     """VS-CMDE in Haar space (reference

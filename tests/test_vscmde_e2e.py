@@ -128,3 +128,19 @@ def test_vscmde_sampling_runs():
     samples, _ = fn(jax.random.key(0), params, jnp.zeros((4, 2)))
     assert samples.shape == (4, 2)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_deprecated_dv_task_anneals_only_sigma_max():
+    """Reference `ConditionalSdeGenerativeModel.py:87-134`: the deprecated
+    module anneals sigma_max_y but leaves sigma_min_y at its config value."""
+    from conditional_score_diffusion_tpu.training.tasks import create_task
+
+    c = _vscmde_config()
+    c.training.lightning_module = "deprecated_conditional_decreasing_variance"
+    module = FCNPaired.from_config(c)
+    task = create_task(c, module)
+    sde0 = task.sde_for_step(0)
+    sde_late = task.sde_for_step(500)
+    assert float(sde_late["y"].sigma_max) < float(sde0["y"].sigma_max)
+    np.testing.assert_allclose(float(sde_late["y"].sigma_min), c.model.sigma_min_y)
+    np.testing.assert_allclose(float(sde0["y"].sigma_min), c.model.sigma_min_y)
