@@ -173,6 +173,96 @@ def port_reference_ddpm_state_dict(sd: Dict, config) -> Dict:
     return params
 
 
+def _conv3d(sd, i):
+    w = np.asarray(sd[f"all_modules.{i}.weight"])  # OIDHW
+    return {
+        "kernel": jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0))),  # DHWIO
+        "bias": jnp.asarray(np.asarray(sd[f"all_modules.{i}.bias"])),
+    }
+
+
+def _resblock3d(sd, i):
+    p = f"all_modules.{i}"
+
+    def conv(name):
+        return {
+            "kernel": jnp.asarray(
+                np.transpose(np.asarray(sd[f"{p}.{name}.weight"]), (2, 3, 4, 1, 0))
+            ),
+            "bias": jnp.asarray(np.asarray(sd[f"{p}.{name}.bias"])),
+        }
+
+    out = {
+        "norm0": _groupnorm(sd, f"{p}.GroupNorm_0"),
+        "conv0": conv("Conv_0"),
+        "norm1": _groupnorm(sd, f"{p}.GroupNorm_1"),
+        "conv1": conv("Conv_1"),
+    }
+    if f"{p}.Dense_0.weight" in sd:
+        out["temb_proj"] = {
+            "kernel": jnp.asarray(np.asarray(sd[f"{p}.Dense_0.weight"]).T),
+            "bias": jnp.asarray(np.asarray(sd[f"{p}.Dense_0.bias"])),
+        }
+    if f"{p}.Conv_2.weight" in sd:
+        out["shortcut"] = conv("Conv_2")
+    return out
+
+
+def port_reference_ddpm3d_state_dict(sd: Dict, config) -> Dict:
+    """torch DDPM3D state dict (reference `models/ddpm3D.py:38-195`) -> Flax
+    params for `models.ddpm3d.DDPM3D`.  The reference model only runs with
+    ``resamp_with_conv=False`` (its Upsample applies a 2-D conv to 5-D
+    tensors, `models/ddpm3D.py:100` + `models/layers.py:593-605`), so the
+    param-less Up/Downsample modules still consume ModuleList indices."""
+    sd = {k: v for k, v in sd.items()}
+    m = config.model
+    ch_mult = tuple(m.ch_mult)
+    num_res_blocks = m.num_res_blocks
+    num_resolutions = len(ch_mult)
+
+    params: Dict = {}
+    idx = 0
+    if m.conditional:
+        params["temb0"] = _linear(sd, idx); idx += 1
+        params["temb1"] = _linear(sd, idx); idx += 1
+
+    params["conv_in"] = _conv3d(sd, idx); idx += 1
+
+    for i_level in range(num_resolutions):
+        for i_block in range(num_res_blocks):
+            params[f"down_{i_level}_{i_block}"] = _resblock3d(sd, idx); idx += 1
+        if i_level != num_resolutions - 1:
+            if m.resamp_with_conv:
+                params[f"down_{i_level}"] = {"conv": _conv3d_sub(sd, idx)}
+            idx += 1
+
+    params["mid_block0"] = _resblock3d(sd, idx); idx += 1
+    params["mid_block1"] = _resblock3d(sd, idx); idx += 1
+
+    for i_level in reversed(range(num_resolutions)):
+        for i_block in range(num_res_blocks + 1):
+            params[f"up_{i_level}_{i_block}"] = _resblock3d(sd, idx); idx += 1
+        if i_level != 0:
+            if m.resamp_with_conv:
+                params[f"up_{i_level}"] = {"conv": _conv3d_sub(sd, idx)}
+            idx += 1
+
+    params["norm_out"] = _groupnorm(sd, f"all_modules.{idx}"); idx += 1
+    params["conv_out"] = _conv3d(sd, idx); idx += 1
+
+    remaining = {k for k in sd if k.startswith(f"all_modules.{idx}")}
+    assert not remaining, f"unconsumed torch modules from index {idx}: {sorted(remaining)[:4]}"
+    return params
+
+
+def _conv3d_sub(sd, i):
+    w = np.asarray(sd[f"all_modules.{i}.Conv_0.weight"])
+    return {
+        "kernel": jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0))),
+        "bias": jnp.asarray(np.asarray(sd[f"all_modules.{i}.Conv_0.bias"])),
+    }
+
+
 def port_reference_ddpm_paired(sd: Dict, config) -> Dict:
     """Paired variants wrap the same U-Net; Flax nests it under 'unet'."""
     return {"unet": port_reference_ddpm_state_dict(sd, config)}
@@ -200,6 +290,10 @@ def load_reference_lightning_checkpoint(path: str, config) -> Dict:
         return port_reference_ddpm_paired(sd, config)
     if name == "ddpm":
         return port_reference_ddpm_state_dict(sd, config)
+    if name == "ddpm3D":
+        return port_reference_ddpm3d_state_dict(sd, config)
+    if name in ("ddpm3D_paired", "ddpm3D_paired_SR3"):
+        return {"unet": port_reference_ddpm3d_state_dict(sd, config)}
     if name == "ncsnpp":
         from .torch_port_ncsnpp import port_reference_ncsnpp_state_dict
 
