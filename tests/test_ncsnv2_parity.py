@@ -132,20 +132,21 @@ def port_ncsnv2_64(sd):
     return params
 
 
-def test_ncsnv2_64_forward_parity():
-    ref = _import_reference_ncsnv2()
-    # Upstream bug: reference ResidualBlock constructs the normalization with
-    # one argument (`layers.py:493`) but InstanceNorm2dPlus requires
-    # num_classes (`normalization.py:158`) -> the reference NCSNv2 crashes at
-    # build. Default the unused argument so the oracle can be constructed.
+def patch_reference_ncsn_bugs():
+    """Make the reference NCSN-lineage models constructible/runnable.
+
+    Upstream bug 1: ResidualBlock constructs the normalization with one
+    argument (`layers.py:493`) but InstanceNorm2dPlus requires num_classes
+    (`normalization.py:158`) -> reference NCSNv2 crashes at build.
+    Upstream bug 2: dilated ncsn_conv3x3 keeps padding=1 (`layers.py:107`),
+    shrinking feature maps and crashing the residual add (`layers.py:516`)
+    — the original ermongroup code pads by the dilation.  Patch the oracle
+    to SAME semantics (which our implementation uses).
+    """
     import models.normalization as ref_norm
 
     if ref_norm.InstanceNorm2dPlus.__init__.__defaults__ == (True,):
         ref_norm.InstanceNorm2dPlus.__init__.__defaults__ = (None, True)
-    # Upstream bug 2: dilated ncsn_conv3x3 keeps padding=1 (`layers.py:107`),
-    # shrinking feature maps and crashing the residual add (`layers.py:516`)
-    # — the original ermongroup code pads by the dilation. Patch the oracle
-    # to SAME semantics (which our implementation uses).
     import models.layers as ref_layers
 
     if not getattr(ref_layers, "_csdt_patched", False):
@@ -161,6 +162,11 @@ def test_ncsnv2_64_forward_parity():
 
         ref_layers.ncsn_conv3x3 = _fixed
         ref_layers._csdt_patched = True
+
+
+def test_ncsnv2_64_forward_parity():
+    ref = _import_reference_ncsnv2()
+    patch_reference_ncsn_bugs()
     c = _cfg()
     tm = ref.NCSNv2(c)
     tm.eval()
