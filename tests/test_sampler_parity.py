@@ -124,3 +124,91 @@ def test_pc_sampler_distribution_parity():
     if denom > 1e-8:
         corr = float(np.dot(rm - rm.mean(), om - om.mean()) / denom)
         assert corr > 0.8, f"mean-field correlation {corr}"
+
+
+def test_pc_conditional_sampler_distribution_parity():
+    """The flagship CMDE inference path: reference torch conditional PC
+    sampler (`sampling/conditional.py:47-228`, fresh-perturbation mode) vs
+    this framework's scan sampler, identical ddpm_paired weights, matching
+    output distributions."""
+    ref_ddpm = _import_reference("models.ddpm")
+    ref_sde_lib = _import_reference("sde_lib")
+    ref_cond = _import_reference("sampling.conditional")
+
+    c = _tiny_config()
+    c.model.name = "ddpm_paired"
+    c.model.input_channels = 6
+    c.model.output_channels = 6
+    c.data.num_channels = 6
+    torch.manual_seed(0)
+    tm = ref_ddpm.DDPM_paired(c)
+    tm.eval()
+    tm.device = torch.device("cpu")
+
+    B = 128
+    r_sde = {
+        "x": ref_sde_lib.cVESDE(sigma_min=0.05, sigma_max=5.0, N=100),
+        "y": ref_sde_lib.VESDE(sigma_min=0.01, sigma_max=0.5, N=100),
+    }
+    torch.manual_seed(1)
+    # one shared conditioning image, tiled: the per-pixel mean field over
+    # the batch is then a tight estimator of the conditional distribution
+    y_np = np.tile(
+        np.random.RandomState(7).rand(1, 3, 8, 8).astype(np.float32), (B, 1, 1, 1)
+    )
+    ref_sampler = ref_cond.get_pc_conditional_sampler(
+        sde=r_sde, shape=(B, 3, 8, 8),
+        predictor=_import_reference("sampling.predictors").get_predictor(
+            "conditional_reverse_diffusion"),
+        corrector=_import_reference("sampling.correctors").get_corrector(
+            "conditional_langevin"),
+        snr=0.16, p_steps=100, c_steps=1, probability_flow=False,
+        continuous=True, denoise=True, eps=1e-5,
+    )
+    with torch.no_grad():
+        ref_samples, _ = ref_sampler(tm, torch.from_numpy(y_np))
+    ref_samples = ref_samples.numpy().transpose(0, 2, 3, 1)
+
+    from conditional_score_diffusion_tpu.models.ddpm import DDPMPaired
+    from conditional_score_diffusion_tpu.models.torch_port import (
+        port_reference_ddpm_paired,
+    )
+    from conditional_score_diffusion_tpu.models.wrappers import (
+        get_conditional_score_fn,
+        get_score_fn,
+    )
+    from conditional_score_diffusion_tpu.sampling import get_pc_conditional_sampler
+    from conditional_score_diffusion_tpu.sde import VESDE
+
+    fm = DDPMPaired.from_config(c)
+    params = port_reference_ddpm_paired(tm.state_dict(), c)
+    o_sde = {
+        "x": VESDE(sigma_min=0.05, sigma_max=5.0, N=100),
+        "y": VESDE(sigma_min=0.01, sigma_max=0.5, N=100),
+    }
+    dict_score_fn = get_score_fn(
+        o_sde, fm, params, conditional=True, train=False, continuous=True
+    )
+    score_fn = get_conditional_score_fn(dict_score_fn)
+    sampler = get_pc_conditional_sampler(
+        o_sde, (B, 8, 8, 3), "conditional_reverse_diffusion",
+        "conditional_langevin", snr=0.16, p_steps=100, c_steps=1,
+        denoise=True, eps=1e-5,
+    )
+    our_samples, _ = sampler(
+        jax.random.key(0), score_fn, jnp.asarray(y_np.transpose(0, 2, 3, 1))
+    )
+    our_samples = np.asarray(our_samples)
+
+    r_mean, o_mean = ref_samples.mean(), our_samples.mean()
+    r_std, o_std = ref_samples.std(), our_samples.std()
+    np.testing.assert_allclose(o_mean, r_mean, atol=4 * r_std / np.sqrt(128 * 192) * 10)
+    np.testing.assert_allclose(o_std, r_std, rtol=0.1)
+    # conditioning structure must transfer: per-pixel conditional mean
+    # fields (over 128 draws with the same y) correlate strongly
+    rm = ref_samples.mean(axis=0).ravel()
+    om = our_samples.mean(axis=0).ravel()
+    denom = np.linalg.norm(rm - rm.mean()) * np.linalg.norm(om - om.mean())
+    if denom > 1e-8:
+        corr = float(np.dot(rm - rm.mean(), om - om.mean()) / denom)
+        assert corr > 0.8, f"conditional mean-field correlation {corr}"
