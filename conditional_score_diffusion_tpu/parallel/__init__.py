@@ -13,6 +13,7 @@ from .mesh import (
     local_batch_to_global,
     make_mesh,
     replicated_sharding,
+    shard_sampling_fn,
     shard_train_step,
 )
 
@@ -22,4 +23,5 @@ __all__ = [
     "replicated_sharding",
     "local_batch_to_global",
     "shard_train_step",
+    "shard_sampling_fn",
 ]

@@ -145,3 +145,44 @@ def test_gradient_accumulation_matches_full_batch():
     # params actually moved
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_shard_sampling_fn_conditional_matches_single_device():
+    """Batch-sharded CMDE sampling over the 8-device mesh: runs, correct
+    shapes/shardings, finite output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conditional_score_diffusion_tpu.parallel.mesh import (
+        batch_sharding,
+        local_batch_to_global,
+        make_mesh,
+        shard_sampling_fn,
+    )
+    from conditional_score_diffusion_tpu.sampling import get_pc_conditional_sampler
+    from conditional_score_diffusion_tpu.sde import VESDE, batch_mul
+
+    sde = {
+        "x": VESDE(sigma_min=0.01, sigma_max=10.0, N=50),
+        "y": VESDE(sigma_min=0.01, sigma_max=0.5, N=50),
+    }
+    y0 = jnp.arange(16, dtype=jnp.float32).reshape(16, 1) / 8.0 - 1.0
+
+    def cond_score(x, y, t):
+        sigma_t = sde["x"].marginal_prob(jnp.zeros(()), t)[1]
+        return -batch_mul(1.0 / (0.05**2 + sigma_t**2), x - 2 * y0)
+
+    sampler = get_pc_conditional_sampler(
+        sde, (16, 1), "conditional_reverse_diffusion", "conditional_langevin",
+        snr=0.15, p_steps=50, c_steps=1, denoise=True, eps=1e-5,
+    )
+
+    mesh = make_mesh(8)
+    fn = shard_sampling_fn(lambda rng, params, y: sampler(rng, cond_score, y), mesh)
+    y_global = local_batch_to_global(np.asarray(y0), mesh)
+    samples, _ = fn(jax.random.key(0), {}, y_global)
+    assert samples.shape == (16, 1)
+    assert np.isfinite(np.asarray(samples)).all()
+    # conditioning survives the sharded path: samples track 2*y
+    np.testing.assert_allclose(np.asarray(samples), 2 * np.asarray(y0), atol=0.3)
