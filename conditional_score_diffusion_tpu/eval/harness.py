@@ -124,7 +124,19 @@ def run_test(config, log_path: str, checkpoint_path: Optional[str] = None) -> Di
             denoise=evalc.denoise,
             use_path=evalc.use_path if "use_path" in evalc else "default",
         )
-        samplers[e_snr] = jax.jit(lambda r, p, y, fn=fn: fn(r, p, y)[0])
+        # Batch-shard sampling over the device mesh when the eval batch
+        # divides the device count (DDP-inference equivalent; scales the
+        # test harness linearly across chips).
+        if len(jax.devices()) > 1 and evalc.batch_size % len(jax.devices()) == 0:
+            from ..parallel import make_mesh, shard_sampling_fn
+
+            mesh = make_mesh()
+            sharded = shard_sampling_fn(
+                lambda r, p, y, fn=fn: fn(r, p, y), mesh
+            )
+            samplers[e_snr] = lambda r, p, y, fn=sharded: fn(r, p, y)[0]
+        else:
+            samplers[e_snr] = jax.jit(lambda r, p, y, fn=fn: fn(r, p, y)[0])
         for draw in draws:
             Path(os.path.join(samples_dir, f"snr_{e_snr:.3f}", f"draw_{draw}")).mkdir(
                 parents=True, exist_ok=True
