@@ -59,7 +59,9 @@ def get_likelihood_fn(
 
         def dynamics(state, s):
             x, _ = state
-            t = eps + s  # integrate t: eps -> T
+            # integrate t: eps -> T (clamped: odeint's step heuristic can
+            # probe outside the domain when the drift is tiny)
+            t = jnp.clip(eps + s, eps, sde.T)
             dx = drift_fn(x, t)
             dlogp = div_fn(x, t, epsilon)
             return dx, dlogp

@@ -34,8 +34,11 @@ def get_ode_sampler(
         rsde = sde.reverse(score_fn, probability_flow=True)
 
         def dynamics(x, s):
-            # integrate s: 0 -> T - eps with t = T - s
-            t = sde.T - s
+            # integrate s: 0 -> T - eps with t = T - s.  Clamp to the
+            # integration domain: odeint's initial-step heuristic can probe
+            # far outside it when the drift is tiny (e.g. an init_scale=0
+            # output conv), and time embeddings NaN at t -> +-inf.
+            t = jnp.clip(sde.T - s, eps, sde.T)
             vec_t = jnp.full((x.shape[0],), t)
             drift, _ = rsde.sde(x, vec_t)
             return -drift

@@ -212,3 +212,54 @@ def test_pc_conditional_sampler_distribution_parity():
     if denom > 1e-8:
         corr = float(np.dot(rm - rm.mean(), om - om.mean()) / denom)
         assert corr > 0.8, f"conditional mean-field correlation {corr}"
+
+
+def test_ode_sampler_deterministic_parity():
+    """Probability-flow ODE sampling is deterministic given the initial
+    latent, so reference (scipy RK45) and this framework (on-device odeint)
+    must agree per-sample from the SAME z and weights
+    (reference `sampling/unconditional.py:93-158`)."""
+    ref_ddpm = _import_reference("models.ddpm")
+    ref_sde_lib = _import_reference("sde_lib")
+    ref_unc = _import_reference("sampling.unconditional")
+
+    c = _tiny_config()
+    torch.manual_seed(0)
+    tm = ref_ddpm.DDPM(c)
+    tm.eval()
+    tm.device = torch.device("cpu")
+    tm.embedding_type = "positional"
+
+    B = 4
+    z = np.random.RandomState(3).randn(B, 3, 8, 8).astype(np.float32) * 5.0
+    r_sde = ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=5.0, N=100)
+    ref_sampler = ref_unc.get_ode_sampler(
+        r_sde, (B, 3, 8, 8), denoise=False, rtol=1e-5, atol=1e-5, eps=1e-3
+    )
+    with torch.no_grad():
+        want, nfe = ref_sampler(tm, z=torch.from_numpy(z))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    from conditional_score_diffusion_tpu.models.ddpm import DDPM
+    from conditional_score_diffusion_tpu.models.torch_port import (
+        port_reference_ddpm_state_dict,
+    )
+    from conditional_score_diffusion_tpu.models.wrappers import get_score_fn
+    from conditional_score_diffusion_tpu.sampling.ode import get_ode_sampler
+    from conditional_score_diffusion_tpu.sde import VESDE
+
+    fm = DDPM.from_config(c)
+    params = port_reference_ddpm_state_dict(tm.state_dict(), c)
+    o_sde = VESDE(sigma_min=0.05, sigma_max=5.0, N=100)
+    score_fn = get_score_fn(
+        o_sde, fm, params, conditional=False, train=False, continuous=True
+    )
+    sampler = get_ode_sampler(
+        o_sde, (B, 8, 8, 3), denoise=False, rtol=1e-5, atol=1e-5, eps=1e-3
+    )
+    got, _ = sampler(jax.random.key(0), score_fn, z=jnp.asarray(z.transpose(0, 2, 3, 1)))
+    got = np.asarray(got)
+
+    # solvers differ (RK45 vs dopri5) -> small integration slack
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=0)
+    assert np.abs(got - want).mean() < 3e-3
