@@ -38,7 +38,7 @@ def get_likelihood_fn(
     mirroring the reference's offset correction (`likelihood.py:95-110`).
     """
 
-    def likelihood_fn(rng, score_fn, data):
+    def likelihood_fn(rng, score_fn, data, epsilon=None):
         rsde = sde.reverse(score_fn, probability_flow=True)
 
         def drift_fn(x, t):
@@ -48,7 +48,9 @@ def get_likelihood_fn(
         div_fn = get_div_fn(drift_fn, hutchinson_type)
 
         rng, eps_rng = jax.random.split(rng)
-        if hutchinson_type.lower() == "rademacher":
+        if epsilon is not None:
+            pass  # caller-fixed probe (deterministic parity / variance reduction)
+        elif hutchinson_type.lower() == "rademacher":
             epsilon = (
                 jax.random.randint(eps_rng, data.shape, 0, 2).astype(data.dtype) * 2 - 1
             )

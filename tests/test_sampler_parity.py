@@ -263,3 +263,63 @@ def test_ode_sampler_deterministic_parity():
     # solvers differ (RK45 vs dopri5) -> small integration slack
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=0)
     assert np.abs(got - want).mean() < 3e-3
+
+
+def test_likelihood_bpd_deterministic_parity():
+    """bits/dim parity: with the SAME Hutchinson probe, weights and data,
+    the reference's scipy-RK45 likelihood (`likelihood.py:26-113`) and this
+    framework's on-device augmented ODE agree."""
+    ref_ddpm = _import_reference("models.ddpm")
+    ref_sde_lib = _import_reference("sde_lib")
+    ref_lik = _import_reference("likelihood")
+
+    c = _tiny_config()
+    torch.manual_seed(0)
+    tm = ref_ddpm.DDPM(c)
+    tm.eval()
+    tm.device = torch.device("cpu")
+    tm.embedding_type = "positional"
+
+    B = 2
+    data = np.random.RandomState(5).rand(B, 3, 8, 8).astype(np.float32)
+    eps_probe = (np.random.RandomState(6).randint(0, 2, data.shape) * 2 - 1).astype(
+        np.float32
+    )
+
+    r_sde = ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=5.0, N=100)
+    ref_fn = ref_lik.get_likelihood_fn(
+        r_sde, inverse_scaler=lambda x: x, hutchinson_type="Gaussian",
+        rtol=1e-5, atol=1e-5, eps=1e-5,
+    )
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **k: torch.from_numpy(eps_probe)
+    try:
+        want_bpd, want_z, _ = ref_fn(tm, torch.from_numpy(data))
+    finally:
+        torch.randn_like = orig_randn_like
+
+    from conditional_score_diffusion_tpu.models.ddpm import DDPM
+    from conditional_score_diffusion_tpu.models.torch_port import (
+        port_reference_ddpm_state_dict,
+    )
+    from conditional_score_diffusion_tpu.models.wrappers import get_score_fn
+    from conditional_score_diffusion_tpu.sampling.likelihood import get_likelihood_fn
+    from conditional_score_diffusion_tpu.sde import VESDE
+
+    fm = DDPM.from_config(c)
+    params = port_reference_ddpm_state_dict(tm.state_dict(), c)
+    o_sde = VESDE(sigma_min=0.05, sigma_max=5.0, N=100)
+    score_fn = get_score_fn(
+        o_sde, fm, params, conditional=False, train=False, continuous=True
+    )
+    lik_fn = get_likelihood_fn(o_sde, rtol=1e-5, atol=1e-5, eps=1e-5)
+    got_bpd, got_z, _ = lik_fn(
+        jax.random.key(0), score_fn,
+        jnp.asarray(data.transpose(0, 2, 3, 1)),
+        epsilon=jnp.asarray(eps_probe.transpose(0, 2, 3, 1)),
+    )
+    # reference offset for identity inverse_scaler: 7 - (-1) = 8 (matches)
+    np.testing.assert_allclose(np.asarray(got_bpd), want_bpd.numpy(), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_z).transpose(0, 3, 1, 2), want_z.numpy(), atol=2e-2
+    )
