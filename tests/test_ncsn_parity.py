@@ -137,13 +137,19 @@ def test_ncsn_forward_parity():
     # Give the oracle the conditional class its blocks expect.
     import models.normalization as ref_norm
 
+    orig_get_normalization = ref.get_normalization
     ref.get_normalization = lambda config, conditional=False: (
         ref_norm.ConditionalInstanceNorm2dPlus
     )
-    c = _cfg()
-    torch.manual_seed(0)
-    tm = ref.NCSN(c)
-    tm.eval()
+    try:
+        c = _cfg()
+        torch.manual_seed(0)
+        tm = ref.NCSN(c)
+        tm.eval()
+    finally:
+        # scope the patch to oracle construction: models.ncsnv2 is shared
+        # with the (unconditional) NCSNv2 parity test
+        ref.get_normalization = orig_get_normalization
 
     from conditional_score_diffusion_tpu.models.ncsnv2 import NCSN
 
