@@ -132,3 +132,26 @@ def test_test_paired_is_noop_marker():
     config = _cmde_config()
     cb = get_callback("test_paired")(config)
     assert cb(object(), 0) is None
+
+
+def test_all_shipped_config_callbacks_resolve():
+    """get_callbacks now raises on unknown visualization_callback names, so
+    every shipped config's callback must resolve."""
+    import glob
+    import importlib.util
+
+    checked = 0
+    for f in sorted(glob.glob("configs/**/*.py", recursive=True)):
+        if f.endswith("__init__.py"):
+            continue
+        spec = importlib.util.spec_from_file_location("cfg_mod", f)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        if not hasattr(m, "get_config"):
+            continue
+        c = m.get_config()
+        viz = c.get("training", {}).get("visualization_callback", None)
+        if viz:
+            assert viz in registry.callbacks, (f, viz)
+            checked += 1
+    assert checked > 0
