@@ -35,6 +35,8 @@ def base_config() -> ml_collections.ConfigDict:
     training.continuous = True
     training.reduce_mean = True
     training.sde = "vesde"
+    training.snapshot_freq_for_preemption = 5000
+    training.snapshot_sampling = True
 
     # sampling
     config.sampling = sampling = ml_collections.ConfigDict()
@@ -67,6 +69,17 @@ def base_config() -> ml_collections.ConfigDict:
     evaluate.first_test_batch = 0
     evaluate.last_test_batch = 1
     evaluate.base_log_dir = "evaluation"
+    # legacy-path eval knobs carried by every reference config
+    # (reference configs/default_cifar10_configs.py:31-38)
+    evaluate.begin_ckpt = 50
+    evaluate.end_ckpt = 96
+    evaluate.enable_sampling = True
+    evaluate.num_samples = 50000
+    evaluate.enable_loss = True
+    evaluate.enable_bpd = False
+    evaluate.bpd_dataset = "test"
+    # run_eval batch cap: 0 -> evaluate the full validation split
+    evaluate.max_val_batches = 0
 
     # validation (reference Synthetic config carries this section)
     config.validation = validation = ml_collections.ConfigDict()

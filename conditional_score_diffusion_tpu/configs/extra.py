@@ -252,3 +252,138 @@ def toy_vp_config():
     config.model.num_scales = 500
     config.optim.lr = 1e-3
     return config
+
+
+def synthetic_config(sde: str = "vesde"):
+    """2-D GaussianBubbles toy, reference hyperparameters (reference
+    `configs/ve/SyntheticDataset.py` / `configs/vp/SyntheticDataset.py`:
+    batch 500, FCN 3x64, dropout 0.25, 1000 scales, ema 0.9999)."""
+    config = base_config()
+    training = config.training
+    training.sde = sde
+    training.batch_size = 500
+    training.workers = 4
+    training.num_epochs = 10000
+    training.n_iters = 500000
+    training.snapshot_freq = 5000
+    training.log_freq = 50
+    training.eval_freq = 2500
+    training.likelihood_weighting = False
+    training.continuous = True
+    training.reduce_mean = False
+    training.visualization_callback = "2D"
+
+    sampling = config.sampling
+    sampling.method = "pc"
+    sampling.predictor = "reverse_diffusion"
+    sampling.corrector = "none"
+    sampling.snr = 0.075
+
+    config.validation.batch_size = 500
+    config.eval.batch_size = 512
+
+    data = config.data
+    data.datamodule = "Synthetic"
+    data.dataset = "Synthetic"
+    data.dataset_type = "GaussianBubbles"
+    data.data_samples = 50000
+    data.mixtures = 4
+    data.return_mixtures = False
+    data.shape = [2]
+    data.dim = 2
+    data.num_channels = 0
+
+    model = config.model
+    model.sigma_max = 4 if sde == "vesde" else 378
+    model.sigma_min = 0.01
+    model.beta_min = 0.1
+    model.beta_max = 25 if sde == "vesde" else 20
+    model.name = "fcn"
+    model.state_size = 2
+    model.hidden_layers = 3
+    model.hidden_nodes = 64
+    model.dropout = 0.25
+    model.scale_by_sigma = False
+    model.num_scales = 1000
+    model.ema_rate = 0.9999
+
+    optim = config.optim
+    optim.lr = 2e-5 if sde == "vesde" else 1e-4
+    optim.warmup = 5000
+    return config
+
+
+def haarflow_config(image_size: int = 128, sde: str = "vesde"):
+    """Unconditional-in-Haar-space DDPM on celebaHQ (reference
+    `configs/ve/haarflow/128.py` and `configs/vp/haarflow/celebahq.py`).
+    The reference files carry no datamodule key; this builder wires the
+    `haar_multiscale` datamodule so the recipe trains."""
+    ve = sde == "vesde"
+    config = base_config()
+    training = config.training
+    training.sde = sde
+    training.lightning_module = (
+        "conditional_decreasing_variance" if ve else "base"
+    )
+    training.batch_size = 32 if ve else 64
+    training.n_iters = 2400001
+    training.log_freq = 250 if ve else 50
+    training.likelihood_weighting = ve
+    training.continuous = not ve
+    training.reduce_mean = ve
+    training.visualization_callback = "haar_multiscale"
+
+    sampling = config.sampling
+    sampling.predictor = "conditional_reverse_diffusion" if ve else "reverse_diffusion"
+    sampling.corrector = "conditional_langevin" if ve else "langevin"
+    sampling.snr = 0.16 if ve else 0.075
+
+    config.eval.batch_size = 36 if ve else 512
+
+    data = config.data
+    data.dataset = "celebaHQ"
+    data.datamodule = "haar_multiscale"
+    data.highest_resolution = 1024
+    data.target_resolution = image_size
+    data.image_size = image_size
+    data.level = math.log(data.target_resolution // data.image_size, 2)
+    data.effective_image_size = image_size // 2
+    data.max_haar_depth = 4 if ve else 3
+    data.num_channels = 12
+    data.shape = [12, image_size // 2, image_size // 2]
+    data.shape_x = [9, image_size // 2, image_size // 2]
+    data.shape_y = [3, image_size // 2, image_size // 2]
+
+    model = config.model
+    model.num_scales = 1000
+    model.sigma_max = 320 if ve else 378
+    model.sigma_min = 0.01
+    model.sigma_max_x = model.sigma_max
+    model.sigma_max_y = model.sigma_max
+    model.sigma_max_y_target = 1.0
+    model.sigma_min_x = 0.01
+    model.sigma_min_y = 0.01
+    model.sigma_min_y_target = 0.01
+    model.reach_target_steps = 250000
+    model.beta_min = 0.1
+    model.beta_max = (20.0 + 4 * (data.level + 1) * np.log(2)) if ve else 20.0
+    model.dropout = 0.1 if ve else 0.0
+    model.embedding_type = "fourier"
+    model.name = "ddpm"
+    model.scale_by_sigma = ve
+    model.ema_rate = 0.999 if ve else 0.9999
+    model.normalization = "GroupNorm"
+    model.nonlinearity = "swish"
+    model.nf = 128
+    model.ch_mult = (1, 1, 2, 2, 3, 3) if ve else (1, 1, 2, 2, 4, 4)
+    model.num_res_blocks = 2
+    model.attn_resolutions = (16, 8, 4) if ve else (16,)
+    model.resamp_with_conv = True
+    model.conditional = True
+    model.conv_size = 3
+    model.input_channels = 12
+    model.output_channels = 12
+
+    config.optim.lr = 2e-4 if ve else 2e-5
+    config.optim.warmup = 5000
+    return config

@@ -25,6 +25,21 @@ def gaussian_bubbles(n_samples: int, mixtures: int, rng: np.random.Generator) ->
     return (centers[idx] + rng.normal(scale=0.2, size=(n_samples, 2))).astype(np.float32)
 
 
+def two_moons(n_samples: int, noise_scale: float, rng: np.random.Generator) -> np.ndarray:
+    """Two interleaving half-circles (the classic `two moons` toy; counterpart
+    of the sklearn dataset used by the reference's `configs/vp/toy_moons.py` +
+    `tests/test_lightning.py:9-66` smoke test)."""
+    n_top = n_samples // 2
+    n_bot = n_samples - n_top
+    t_top = np.pi * rng.random(n_top)
+    t_bot = np.pi * rng.random(n_bot)
+    top = np.stack([np.cos(t_top), np.sin(t_top)], axis=1)
+    bot = np.stack([1.0 - np.cos(t_bot), -np.sin(t_bot) + 0.5], axis=1)
+    pts = np.concatenate([top, bot], axis=0)
+    pts += rng.normal(scale=noise_scale, size=pts.shape)
+    return pts[rng.permutation(n_samples)].astype(np.float32)
+
+
 class _ArrayIterator:
     """Infinite shuffled (train) or single-epoch (eval) batch iterator."""
 
@@ -52,13 +67,18 @@ class SyntheticDataModule:
         self.config = config
         d = config.data
         self.n_samples = d.data_samples
-        self.mixtures = d.mixtures
+        self.dataset_type = d.get("dataset_type", "GaussianBubbles")
+        self.mixtures = d.get("mixtures", 4)
+        self.noise_scale = d.get("noise_scale", 0.015)
         self.split = list(d.split)
         self.seed = config.seed
 
     def setup(self):
         rng = np.random.default_rng(self.seed)
-        data = gaussian_bubbles(self.n_samples, self.mixtures, rng)
+        if self.dataset_type == "Moons":
+            data = two_moons(self.n_samples, self.noise_scale, rng)
+        else:
+            data = gaussian_bubbles(self.n_samples, self.mixtures, rng)
         n = len(data)
         n_train = int(self.split[0] * n)
         n_val = int(self.split[1] * n)

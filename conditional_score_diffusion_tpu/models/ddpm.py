@@ -243,6 +243,14 @@ class DDPM2xSR(_PairedBase):
         return {"x": squeeze2x(out[..., :xc], reverse=True), "y": out[..., xc:]}
 
 
+@register_model(name="ddpm_SR")
+class DDPMSR(DDPM2xSR):
+    """Alias used by the legacy celebA bicubic-multiscale SRFlow recipes
+    (reference `configs/ve/srflow/celebA/bicubic/**/config_*.py:113`, which
+    name a `ddpm_SR` model whose 15-channel squeezed-HR+LR input matches the
+    2xSR squeeze formulation)."""
+
+
 @register_model(name="ddpm_KxSR")
 class DDPMKxSR(_PairedBase):
     """Kx SR: bilinear-resize y to GT size in, back to LQ size out

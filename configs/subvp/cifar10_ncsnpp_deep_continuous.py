@@ -1,0 +1,26 @@
+"""CIFAR-10 with the sub-VP SDE (ncsnpp, deep).
+
+Mirrors `configs/subvp/cifar10_ncsnpp_deep_continuous.py` in the reference.
+"""
+
+from conditional_score_diffusion_tpu.configs.song import (
+    ddpm_block,
+    ddpmpp_block,
+    get_default_configs,
+)
+
+
+def get_config():
+    config = get_default_configs("cifar10")
+    config.training.sde = "subvpsde"
+    config.training.continuous = True
+    config.training.reduce_mean = True
+    config.training.n_iters = 950001
+    config.sampling.predictor = "euler_maruyama"
+    config.sampling.corrector = "none"
+    config.data.centered = True
+    model = config.model
+    ddpmpp_block(model, deep=True)
+    model.fir = True
+    model.progressive_input = "residual"
+    return config

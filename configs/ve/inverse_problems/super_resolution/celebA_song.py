@@ -1,0 +1,10 @@
+"""CelebA-HQ 128px super-resolution, song.
+
+Mirrors `configs/ve/inverse_problems/super_resolution/celebA_song.py` in the reference.
+"""
+
+from conditional_score_diffusion_tpu.configs.celeba_sr import celeba_sr_128_config
+
+
+def get_config():
+    return celeba_sr_128_config("song")

@@ -1,0 +1,11 @@
+"""SRFlow-benchmark celebA bicubic multiscale stage at 40px (reduce max only).
+
+Mirrors `configs/ve/srflow/celebA/bicubic/reduce_max_only/config_40.py`
+in the reference.
+"""
+
+from conditional_score_diffusion_tpu.configs.srflow import celeba_bicubic_config
+
+
+def get_config():
+    return celeba_bicubic_config(40)

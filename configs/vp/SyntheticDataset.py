@@ -1,7 +1,10 @@
-"""2-D GaussianBubbles toy with VP SDE."""
+"""2-D GaussianBubbles toy with the VP SDE.
 
-from conditional_score_diffusion_tpu.configs.extra import toy_vp_config
+Mirrors `configs/vp/SyntheticDataset.py` in the reference.
+"""
+
+from conditional_score_diffusion_tpu.configs.extra import synthetic_config
 
 
 def get_config():
-    return toy_vp_config()
+    return synthetic_config(sde="vpsde")
