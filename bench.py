@@ -36,7 +36,9 @@ def main():
     from conditional_score_diffusion_tpu.sde import build_sde
     from __graft_entry__ import _flagship_config
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 16 is the per-image sweet spot in bf16 (BENCH_NOTES round 2);
+    # batch 32 overflows device memory on v5e-1 at 160px
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     p_steps = int(os.environ.get("BENCH_P_STEPS", "1000"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")

@@ -96,7 +96,10 @@ class DDPM(nn.Module):
         all_res = [self.image_size // (2**i) for i in range(num_resolutions)]
 
         if self.conditional:
-            temb = get_timestep_embedding(cond, nf)
+            # sin/cos in f32, then drop to the activation dtype so a bf16
+            # input keeps the whole network bf16 (an f32 temb would promote
+            # every resblock after `h + Dense(temb)` back to f32)
+            temb = get_timestep_embedding(cond, nf).astype(x.dtype)
             temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb0")(temb)
             temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb1")(act(temb))
         else:

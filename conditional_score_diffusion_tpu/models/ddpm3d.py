@@ -82,7 +82,8 @@ class DDPM3D(nn.Module):
         num_resolutions = len(self.ch_mult)
 
         if self.conditional:
-            temb = get_timestep_embedding(cond, nf)
+            # f32 sin/cos, then the activation dtype (keeps bf16 paths bf16)
+            temb = get_timestep_embedding(cond, nf).astype(x.dtype)
             temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb0")(temb)
             temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb1")(act(temb))
         else:

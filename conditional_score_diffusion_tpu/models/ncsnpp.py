@@ -128,6 +128,10 @@ class NCSNpp(nn.Module):
             temb = get_timestep_embedding(time_cond, nf)
         else:
             raise ValueError(f"embedding type {self.embedding_type!r} unknown")
+        # drop the f32 sin/cos embedding to the activation dtype so a bf16
+        # input keeps the whole network bf16 (an f32 temb would promote
+        # every resblock after `h + Dense(temb)` back to f32)
+        temb = temb.astype(x.dtype)
 
         if self.conditional:
             temb = nn.Dense(nf * 4, kernel_init=default_init(), name="temb0")(temb)

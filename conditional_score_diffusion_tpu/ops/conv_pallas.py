@@ -106,6 +106,88 @@ def _conv3x3_pallas_fwd_impl(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = F
     )(xp, w)[..., :Cout0]
 
 
+def _hmajor_kernel(x_hbm, w_ref, out_ref, scratch, sem, *, tile_h, W, B, Cin):
+    """3x3 conv on an (H, W, B, C) layout.
+
+    With batch x channels as the (sublane, lane) tile, BOTH spatial shifts
+    land on untiled major axes, so the per-tap offset slices are
+    tile-granular — none of the W-axis sublane manipulations that fault
+    this image's Mosaic toolchain (see module docstring).
+    """
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(x_hbm.at[pl.ds(i * tile_h, tile_h + 2)], scratch, sem)
+    dma.start()
+    dma.wait()
+    x = scratch[...]  # (tile_h+2, W+2, B, Cin)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            # both offsets index major (untiled) axes
+            lhs = x[dy : dy + tile_h, dx : dx + W].reshape(tile_h * W * B, Cin)
+            term = jnp.dot(lhs, w_ref[dy, dx], preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+    out_ref[...] = acc.reshape(tile_h, W, B, -1).astype(out_ref.dtype)
+
+
+def _pick_tile_hmajor(H: int, W: int, B: int, Cin: int, Cout: int, itemsize: int) -> int:
+    # the TPU scoped-vmem limit is 16M; leave room for the f32 accumulator,
+    # one materialized lhs copy, and the weight block
+    budget = 6 * 2**20
+    per_row = (W + 2) * B * (Cin * (itemsize + 2) + Cout * 4)
+    cap = max(1, budget // max(1, per_row))
+    for t in range(min(cap, H), 0, -1):
+        if H % t == 0:
+            return t
+    return 1
+
+
+def conv3x3_hmajor(xt: jnp.ndarray, w: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """3x3 SAME stride-1 conv on an (H, W, B, C) batch-minor layout.
+
+    ``xt``: (H, W, B, Cin); ``w``: (3, 3, Cin, Cout) -> (H, W, B, Cout).
+    """
+    H, W, B, Cin0 = xt.shape
+    _, _, _, Cout0 = w.shape
+    Cin = _round_up(Cin0, 128) if not interpret else Cin0
+    Cout = _round_up(Cout0, 128) if not interpret else Cout0
+    if Cin != Cin0 or Cout != Cout0:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, Cin - Cin0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cin - Cin0), (0, Cout - Cout0)))
+    xp = jnp.pad(xt, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    tile_h = _pick_tile_hmajor(H, W, B, Cin, Cout, xt.dtype.itemsize)
+    kernel = functools.partial(_hmajor_kernel, tile_h=tile_h, W=W, B=B, Cin=Cin)
+    out = pl.pallas_call(
+        kernel,
+        grid=(H // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, Cin, Cout), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_h, W, B, Cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, W, B, Cout), xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, W + 2, B, Cin), xt.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w)
+    return out[..., :Cout0]
+
+
+def conv3x3_pallas_hmajor(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """NHWC wrapper around :func:`conv3x3_hmajor` (transposes at the edges).
+
+    For a full network the intended use is to keep activations batch-minor
+    end-to-end and transpose once at the boundaries; this wrapper exists for
+    drop-in correctness tests and per-op benchmarking.
+    """
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    yt = conv3x3_hmajor(xt, w, interpret=interpret)
+    return jnp.transpose(yt, (2, 0, 1, 3))
+
+
 def _xla_conv(x, w):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
