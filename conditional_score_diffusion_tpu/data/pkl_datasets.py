@@ -52,10 +52,18 @@ _PKL_FILES = {
 
 def pkl_paths(config, phase: str) -> Dict[str, str]:
     dataset = config.data.dataset
+    base = os.path.join(config.data.base_dir, dataset)
     if dataset not in _PKL_FILES:
+        # generic convention for locally-built datasets:
+        #   {base_dir}/{dataset}/{dataset}-{phase}.pklv4        (GT)
+        #   {base_dir}/{dataset}/{dataset}-{phase}_X{scale}.pklv4  (LQ, optional)
+        gt = f"{dataset}-{phase}.pklv4"
+        scale = config.data.get("scale", 4)
+        lq = f"{dataset}-{phase}_X{scale}.pklv4"
+        if os.path.exists(os.path.join(base, gt)):
+            return {"LQ": os.path.join(base, lq), "GT": os.path.join(base, gt)}
         raise NotImplementedError(f"{dataset} is not supported.")
     lq, gt = _PKL_FILES[dataset][phase]
-    base = os.path.join(config.data.base_dir, dataset)
     return {"LQ": os.path.join(base, lq), "GT": os.path.join(base, gt)}
 
 

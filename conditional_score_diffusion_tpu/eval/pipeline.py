@@ -62,6 +62,8 @@ def run_evaluation_pipeline(
     snr: float,
     scale: int = 8,
     inception_weights: Optional[str] = None,
+    mask_coverage: Optional[float] = None,
+    mask_seed_offset: int = 0,
 ) -> Dict:
     samples_root = os.path.join(base_path, "images", "samples", f"snr_{snr:.3f}")
     x_dir = os.path.join(base_path, "images", "x_gt")
@@ -95,6 +97,22 @@ def run_evaluation_pipeline(
     except NotImplementedError:
         results["skipped"].append("consistency")
 
+    # inpainting: re-roll the seeded test-time masks from the saved image ids
+    # (PNG id k <-> dataset index mask_seed_offset + k - 1; reference
+    # `evaluation.py:67-140` reconstructs mask_info the same way)
+    masks = None
+    if task == "inpainting" and consistency_fn is not None:
+        if mask_coverage is None:
+            results["skipped"].append("consistency (no mask_coverage/seeds)")
+            consistency_fn = None
+        else:
+            from ..data.degradations import random_square_mask
+
+            seeds = np.asarray([mask_seed_offset + i - 1 for i in ids])
+            masks = random_square_mask(
+                x.shape, mask_coverage, np.random.default_rng(0), seeds=seeds
+            )
+
     lpips_fn = None
     try:
         from .lpips import load_lpips
@@ -114,6 +132,10 @@ def run_evaluation_pipeline(
                 entry["consistency"] = float(consistency_fn(jnp.asarray(s), jnp.asarray(x), scale))
             elif task == "image-to-image":
                 entry["consistency"] = float(consistency_fn(jnp.asarray(s), jnp.asarray(x)))
+            elif task == "inpainting" and masks is not None:
+                entry["consistency"] = float(
+                    consistency_fn(jnp.asarray(s), jnp.asarray(x), jnp.asarray(masks))
+                )
         if lpips_fn is not None:
             vals = np.asarray(lpips_fn(jnp.asarray(x), jnp.asarray(s)))
             entry["lpips"] = float(vals.mean())

@@ -76,15 +76,19 @@ class Trainer:
             self.writer = SummaryWriter(log_path)
         except ImportError:  # pragma: no cover
             self.writer = None
+        self.callback_failures: Dict[str, int] = {}
 
     def log_scalar(self, tag: str, value: float, step: int):
         if self.writer is not None:
             self.writer.add_scalar(tag, value, step)
 
     def run_eval(self, rng) -> float:
+        # 0 (the default) = full validation split, matching the reference's
+        # behavior; set config.eval.max_val_batches to bound long val passes
+        max_batches = int(self.config.eval.get("max_val_batches", 0) or 0)
         losses = []
         for i, batch in enumerate(self.datamodule.val_iterator()):
-            if i >= 8:  # bounded eval pass
+            if max_batches and i >= max_batches:
                 break
             batch = self.task.prepare_batch(batch)
             gbatch = local_batch_to_global(np.asarray(batch) if not isinstance(batch, dict)
@@ -153,7 +157,16 @@ class Trainer:
                 try:
                     cb(self, step + 1)
                 except Exception as e:  # visualization must never kill training
-                    print(f"[callback] {type(e).__name__}: {e}", flush=True)
+                    # surface the failure (TB text + counter) so a permanently
+                    # broken callback is visible in long runs, not just stdout
+                    name = type(cb).__name__
+                    msg = f"{type(e).__name__}: {e}"
+                    print(f"[callback {name}] {msg}", flush=True)
+                    self.callback_failures[name] = self.callback_failures.get(name, 0) + 1
+                    self.log_scalar(f"callback_failures/{name}",
+                                    self.callback_failures[name], step + 1)
+                    if self.writer is not None:
+                        self.writer.add_text(f"callback_errors/{name}", msg, step + 1)
 
         self.ckpt.wait()
         return history

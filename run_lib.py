@@ -40,20 +40,38 @@ def multi_scale_test(master_config, log_path: str):
     return run_multi_scale_test(master_config, log_path)
 
 
-def evaluation_pipeline(master_config):
-    """Reference `run_lib.evaluation_pipeline` (offline FID/JFID over saved
-    sample trees)."""
+def _evaluate_one_config(config):
     from conditional_score_diffusion_tpu.eval.pipeline import run_evaluation_pipeline
 
-    base = master_config.eval.base_log_dir
-    task = master_config.data.task
-    dataset = master_config.data.dataset
-    approach = master_config.training.conditioning_approach
+    base = config.eval.base_log_dir
+    task = config.data.task
+    dataset = config.data.dataset
+    approach = config.training.conditioning_approach
     images_dir = os.path.join(base, task, dataset, approach)
+    # seeded-mask re-roll parameters for inpainting consistency (the saved
+    # PNG id k maps to dataset index first_test_batch*batch_size + k - 1,
+    # the per-item mask seed — reference `evaluation.py:67-140`)
+    mask_kwargs = {}
+    if task == "inpainting" and config.eval.get("use_seed", False):
+        mask_kwargs = dict(
+            mask_coverage=config.data.get("mask_coverage", 0.25),
+            mask_seed_offset=config.eval.first_test_batch * config.eval.batch_size,
+        )
     results = {}
-    for snr in master_config.eval.snr:
-        results[snr] = run_evaluation_pipeline(task, images_dir, snr)
+    for snr in config.eval.snr:
+        results[snr] = run_evaluation_pipeline(
+            task, images_dir, snr, scale=config.data.get("scale", 8), **mask_kwargs
+        )
     return results
+
+
+def evaluation_pipeline(master_config):
+    """Reference `run_lib.evaluation_pipeline`: iterate the sub-configs of a
+    master config (reference `run_lib.py:106-111`); a single leaf config is
+    also accepted."""
+    if "training" in master_config:  # leaf config
+        return _evaluate_one_config(master_config)
+    return {name: _evaluate_one_config(master_config[name]) for name in master_config}
 
 
 def compute_data_stats(config):

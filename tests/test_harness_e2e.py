@@ -118,3 +118,52 @@ def test_evaluation_pipeline_over_saved_tree(tiny_sr_config):
     # FID/LPIPS gated on unavailable weights -> recorded as skipped
     assert any("fid" in s for s in results["skipped"])
     assert os.path.isfile(os.path.join(base, "evaluation_info.pkl"))
+
+
+def test_evaluation_pipeline_master_config(tiny_sr_config):
+    """Master-config semantics: iterate sub-configs (reference
+    `run_lib.py:106-111`), incl. seeded-mask inpainting consistency."""
+    config = tiny_sr_config
+    base = os.path.join(
+        config.eval.base_log_dir, config.data.task, config.data.dataset, "ours_NDV"
+    )
+    if not os.path.isdir(base):
+        pytest.skip("run after test_mode_test")
+
+    import run_lib
+
+    master = ml_collections.ConfigDict()
+    master.first = config
+    master.second = config
+    results = run_lib.evaluation_pipeline(master)
+    assert set(results) == {"first", "second"}
+    for sub in results.values():
+        per_draw = sub[0.15]["per_draw"]
+        assert "draw_1" in per_draw
+        # the seeded mask re-roll makes the masked-region consistency real
+        assert "consistency" in per_draw["draw_1"]
+        assert np.isfinite(per_draw["draw_1"]["consistency"])
+        assert per_draw["draw_1"]["consistency"] > per_draw["draw_1"]["psnr"]
+
+    # the re-rolled masks must equal the real test-time masks: y_gt is
+    # x * (1 - mask), so the re-rolled square must cover exactly the pixels
+    # where y_gt was zeroed
+    from PIL import Image
+
+    from conditional_score_diffusion_tpu.data.degradations import random_square_mask
+
+    ygt = np.asarray(
+        Image.open(os.path.join(base, "images", "y_gt", "1.png")).convert("RGB"),
+        dtype=np.float32,
+    )
+    xgt = np.asarray(
+        Image.open(os.path.join(base, "images", "x_gt", "1.png")).convert("RGB"),
+        dtype=np.float32,
+    )
+    mask = random_square_mask(
+        (1,) + ygt.shape[:2] + (1,), config.data.mask_coverage,
+        np.random.default_rng(0), seeds=np.asarray([0]),
+    )[0, :, :, 0]
+    # inside the re-rolled square y is zeroed; outside it matches x
+    assert np.all(ygt[mask > 0.5] == 0)
+    assert np.array_equal(ygt[mask < 0.5], xgt[mask < 0.5])
