@@ -118,7 +118,11 @@ class LRHRPKLDataModule(_PKLBase):
         use_crop = c.data.use_crop
         crop_size = c.data.image_size
         scale = c.data.scale
-        upscale_lr = c.data.upscale_lr
+        # default False: the reference sequential-bicubic recipes omit the
+        # key entirely (reference `configs/ve/srflow/celebAHQ160/sequential/
+        # bicubic/config_160.py:75-93` vs `SRFLOWDataset.py:92`, which reads
+        # it unconditionally and would crash — a reference quirk not copied)
+        upscale_lr = c.data.get("upscale_lr", False)
         lrs, hrs = self.images[phase]["lr"], self.images[phase]["hr"]
 
         def make_batch(idx, rng):

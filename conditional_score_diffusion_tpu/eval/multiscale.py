@@ -11,8 +11,18 @@ space:
     the HF detail bands; inverse Haar yields the next-scale image
     (`run_lib.py:165-215`).
 
-Outputs are concatenated sample-vs-GT pyramids logged to TensorBoard and
-saved as PNGs.
+Fidelity items mirrored from the reference script code
+(`run_lib.py:224-239,301-332`):
+
+  * the GT pyramid: the highest-scale datamodule provides the GT batch
+    (haar space: ``haar_backward(cat(bands))``; bicubic space: the HR item);
+  * ``rescale_and_concatenate``: every intermediate image NN-upsampled to
+    the final resolution, per-image min-max normalized, concatenated along
+    width with the normalized GT on the right, gridded with nrow=1 and
+    logged to TensorBoard as ``Autoregressive_Sampling_batch_%d``;
+  * per-band normalized Haar supergrids of each scale's (dc | sampled HF)
+    coefficients (the reference's ``normalise_per_band``/``create_supergrid``
+    evolution visualization, `run_lib.py:185-193`).
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ import numpy as np
 from ..data import create_datamodule
 from ..models import init_model
 from ..ops.haar import haar_backward
+from ..training.callbacks import _normalise_per_image, haar_supergrid, image_grid
 from ..training.checkpoint import CheckpointManager
 from ..training.state import create_train_state
 from ..training.tasks import create_task
@@ -48,9 +59,33 @@ def _load_scale(config, checkpoint_path: Optional[str] = None):
     return task, state
 
 
-def _nearest_up(x, factor):
-    B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * factor, W * factor, C), method="nearest")
+def _nearest_up(x: np.ndarray, factor: int) -> np.ndarray:
+    """NN upsample [B,H,W,C] by an integer factor (reference
+    `Upsample(mode='nearest')`, `run_lib.py:236`)."""
+    return np.repeat(np.repeat(x, factor, axis=1), factor, axis=2)
+
+
+def rescale_and_concatenate(intermediate_images: List[np.ndarray]) -> np.ndarray:
+    """Reference `run_lib.rescale_and_concatenate` (`run_lib.py:224-239`):
+    NN-upsample every pyramid level to the final resolution, per-image
+    min-max normalize, and concatenate along width."""
+    max_h = intermediate_images[-1].shape[1]
+    upsampled = []
+    for image in intermediate_images:
+        factor = max_h // image.shape[1]
+        if factor > 1:
+            image = _nearest_up(image, factor)
+        upsampled.append(_normalise_per_image(image.astype(np.float32)))
+    return np.concatenate(upsampled, axis=2)
+
+
+def _save_png(arr: np.ndarray, path: str):
+    from PIL import Image
+
+    arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)
 
 
 def run_multi_scale_test(
@@ -60,7 +95,8 @@ def run_multi_scale_test(
     corrector: str = "conditional_none",
     num_batches: int = 1,
 ) -> List[np.ndarray]:
-    """Returns the list of final-scale sample batches (also saved as PNGs)."""
+    """Returns the list of final-scale sample batches (pyramids + supergrids
+    are logged to TensorBoard and saved as PNGs)."""
     coord_space = master_config.get("coordinate_space", "haar")
     scale_keys = [k for k in master_config.keys() if k.startswith(("scale", "config"))]
     if not scale_keys:
@@ -77,23 +113,33 @@ def run_multi_scale_test(
         task, state = _load_scale(config)
         scales.append((config, task, state))
 
-    # Lowest-scale conditioning data comes from the first config's test split.
-    base_config = scales[0][0]
-    dm = create_datamodule(base_config)
+    # Lowest-scale conditioning comes from the first config's test split; the
+    # GT batch comes from the highest-scale config's test split (reference
+    # zips min- and max-scale test dataloaders, `run_lib.py:301-313`).
+    dm = create_datamodule(scales[0][0])
     dm.setup()
+    gt_dm = create_datamodule(scales[-1][0])
+    gt_dm.setup()
 
     out_dir = os.path.join(log_path, "multi_scale")
     Path(out_dir).mkdir(parents=True, exist_ok=True)
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(log_path, "autoregressive_samples"))
+    except ImportError:  # pragma: no cover
+        pass
 
     results = []
     rng = jax.random.key(master_config.get("seed", 42))
-    for batch_idx, batch in enumerate(dm.test_iterator()):
+    for batch_idx, (batch, gt_batch) in enumerate(zip(dm.test_iterator(), gt_dm.test_iterator())):
         if batch_idx >= num_batches:
             break
         current = jnp.asarray(batch["y"] if isinstance(batch, dict) else batch)
         pyramid = [np.asarray(current)]
 
-        for config, task, state in scales:
+        for scale_idx, (config, task, state) in enumerate(scales):
             rng, sample_rng = jax.random.split(rng)
             c, h, w = config.data.shape_x
             shape = (current.shape[0], h, w, c)
@@ -104,23 +150,52 @@ def run_multi_scale_test(
                 samples, _ = fn(sample_rng, state.ema.params)
 
             if coord_space == "haar":
-                # samples are the HF detail bands; current is the DC band
+                # samples are the HF detail bands; current is the DC band.
                 full = jnp.concatenate([current, samples], axis=-1)
+                if writer is not None:
+                    # per-band normalized supergrid of (dc | hf) coefficients
+                    grid = haar_supergrid(np.asarray(full))
+                    writer.add_image(
+                        f"haar_supergrid_scale_{scale_idx}_batch_{batch_idx}",
+                        np.transpose(grid, (2, 0, 1)),
+                    )
                 current = haar_backward(full)
             else:  # bicubic: the sample becomes the next scale's conditioning
                 current = jnp.clip(samples, 0.0, 1.0)
             pyramid.append(np.asarray(current))
 
-        results.append(pyramid[-1])
-        from PIL import Image
+        # GT at the highest scale (reference `run_lib.py:317-320`)
+        if isinstance(gt_batch, dict):
+            if coord_space == "haar":
+                bands = jnp.concatenate(
+                    [jnp.asarray(gt_batch["y"]), jnp.asarray(gt_batch["x"])], axis=-1
+                )
+                gt = np.asarray(haar_backward(bands))
+            else:
+                gt = np.asarray(gt_batch["x"])
+        else:
+            gt = np.asarray(gt_batch)
 
+        # concatenated pyramid | GT, gridded one row per item
+        pyr = rescale_and_concatenate(pyramid)
+        n = min(pyr.shape[0], gt.shape[0])
+        vis = np.concatenate(
+            [pyr[:n], _normalise_per_image(gt[:n].astype(np.float32))], axis=2
+        )
+        grid = image_grid(vis, nrow=1)
+        if writer is not None:
+            writer.add_image(
+                f"Autoregressive_Sampling_batch_{batch_idx}",
+                np.transpose(grid, (2, 0, 1)),
+            )
+        _save_png(grid, os.path.join(out_dir, f"pyramid_batch{batch_idx}.png"))
+
+        results.append(pyramid[-1])
         for i in range(pyramid[-1].shape[0]):
-            arr = np.clip(pyramid[-1][i], 0, 1)
-            arr = (arr * 255).astype(np.uint8)
-            if arr.shape[-1] == 1:
-                arr = arr[..., 0]
-            Image.fromarray(arr).save(
-                os.path.join(out_dir, f"batch{batch_idx}_{i}.png")
+            _save_png(
+                pyramid[-1][i], os.path.join(out_dir, f"batch{batch_idx}_{i}.png")
             )
         print(f"[multi_scale] batch {batch_idx}: final {pyramid[-1].shape}", flush=True)
+    if writer is not None:
+        writer.close()
     return results

@@ -43,7 +43,14 @@ def example_inputs(config, batch: int = 1):
     """
     data = config.data
     cond = jnp.zeros((batch,), dtype=jnp.float32)
-    if "shape_y" in data and "conditioning_approach" in config.training:
+    # Conditional (paired-input) models take {'x','y'} dicts.  The reliable
+    # signal is the task (lightning_module) being conditional — reference
+    # srflow recipes set `lightning_module = 'conditional_decreasing_variance'`
+    # without any `conditioning_approach` key (e.g. reference
+    # `configs/ve/srflow/celebAHQ160/sequential/bicubic/config_160.py:29`).
+    from ..sde.factory import is_conditional_config
+
+    if "shape_y" in data and is_conditional_config(config):
         sx = (batch,) + _chw_to_hwc_shape(tuple(data.shape_x))
         sy = (batch,) + _chw_to_hwc_shape(tuple(data.shape_y))
         return {"x": jnp.zeros(sx), "y": jnp.zeros(sy)}, cond

@@ -30,6 +30,19 @@ def conditioning_approach(config) -> Optional[str]:
     return None
 
 
+def is_conditional_config(config) -> bool:
+    """A config drives a conditional (dict-SDE) model if it names a
+    conditional approach OR a conditional lightning module: the reference
+    srflow recipes set ``lightning_module = 'conditional_decreasing_variance'``
+    with no ``conditioning_approach`` key, and the reference module builds
+    the dict SDE unconditionally for VE (reference
+    `ConditionalSdeGenerativeModel.py:143-176`)."""
+    if conditioning_approach(config) is not None:
+        return True
+    task = config.training.get("lightning_module", "base")
+    return "conditional" in task and not task.startswith("haar_multiscale")
+
+
 def build_sde(
     config,
     data_mean: Optional[jnp.ndarray] = None,
@@ -45,7 +58,7 @@ def build_sde(
     """
     name = config.training.sde.lower()
     model = config.model
-    conditional = conditioning_approach(config) is not None
+    conditional = is_conditional_config(config)
 
     if name == "vpsde":
         sde = VPSDE(beta_0=model.beta_min, beta_1=model.beta_max, N=model.num_scales)

@@ -243,6 +243,18 @@ def _joint_evolution_frames(evolution, max_frames: int = 100) -> np.ndarray:
     return np.stack(frames)
 
 
+def haar_supergrid(coeffs: np.ndarray) -> np.ndarray:
+    """2x2 supergrid of the four Haar bands, each min-max normalized
+    (reference `HaarMultiScaleCallback.py:48-62` normalise_per_band +
+    create_supergrid)."""
+    C = coeffs.shape[-1] // 4
+    bands = [coeffs[..., i * C : (i + 1) * C] for i in range(4)]
+    bands = [(b - b.min()) / (b.max() - b.min() + 1e-8) for b in bands]
+    top = np.concatenate(bands[:2], axis=2)
+    bot = np.concatenate(bands[2:], axis=2)
+    return image_grid(np.concatenate([top, bot], axis=1))
+
+
 @register_callback(name="haar_multiscale")
 def haar_multiscale_callback(config, phase: str = "train"):
     """Band-normalized Haar supergrid (reference `HaarMultiScaleCallback.py:48-62`);
@@ -250,15 +262,7 @@ def haar_multiscale_callback(config, phase: str = "train"):
     (reference `HaarMultiScaleCallback.py:66-91`)."""
 
     show_evolution = config.training.get("show_evolution", False)
-
-    def _supergrid(coeffs: np.ndarray) -> np.ndarray:
-        C = coeffs.shape[-1] // 4
-        # 2x2 supergrid of the four bands, each min-max normalized
-        bands = [coeffs[..., i * C : (i + 1) * C] for i in range(4)]
-        bands = [(b - b.min()) / (b.max() - b.min() + 1e-8) for b in bands]
-        top = np.concatenate(bands[:2], axis=2)
-        bot = np.concatenate(bands[2:], axis=2)
-        return image_grid(np.concatenate([top, bot], axis=1))
+    _supergrid = haar_supergrid
 
     def fn(trainer, step):
         from ..ops.haar import haar_backward

@@ -44,23 +44,26 @@ def _tiny_haar_scale_config(base_dir, image_size):
 
 def test_multi_scale_haar_chain(tmp_path):
     """Two haar scales (8px -> 16px -> 32px images): each scale's model
-    samples HF bands conditioned on the DC band; inverse Haar chains up."""
-    ds_dir = tmp_path / "celebA-HQ-160"
-    ds_dir.mkdir()
-    # GT at 16 (for scale-1's datamodule; y comes from its test split DC)
-    for f, size in [
-        ("CelebAHq_160_MBic_tr.pklv4", 16),
-        ("CelebAHq_160_MBic_va.pklv4", 16),
-        ("CelebAHq_160_MBic_tr_X8.pklv4", 8),
-        ("CelebAHq_160_MBic_va_X8.pklv4", 8),
-    ]:
-        _write_pklv4(str(ds_dir / f), 8, size)
+    samples HF bands conditioned on the DC band; inverse Haar chains up.
+    Each scale's datamodule reads GT at that scale's resolution (the GT
+    pyramid comes from the max-scale datamodule, reference
+    `run_lib.py:301-320`)."""
+    for scale_dir, size in [("s16", 16), ("s32", 32)]:
+        ds_dir = tmp_path / scale_dir / "celebA-HQ-160"
+        ds_dir.mkdir(parents=True)
+        for f, s in [
+            ("CelebAHq_160_MBic_tr.pklv4", size),
+            ("CelebAHq_160_MBic_va.pklv4", size),
+            ("CelebAHq_160_MBic_tr_X8.pklv4", size // 2),
+            ("CelebAHq_160_MBic_va_X8.pklv4", size // 2),
+        ]:
+            _write_pklv4(str(ds_dir / f), 8, s)
 
     master = ml_collections.ConfigDict()
     master.coordinate_space = "haar"
     master.seed = 0
-    master.scale_16 = _tiny_haar_scale_config(str(tmp_path), 16)
-    master.scale_32 = _tiny_haar_scale_config(str(tmp_path), 32)
+    master.scale_16 = _tiny_haar_scale_config(str(tmp_path / "s16"), 16)
+    master.scale_32 = _tiny_haar_scale_config(str(tmp_path / "s32"), 32)
 
     from conditional_score_diffusion_tpu.eval.multiscale import run_multi_scale_test
 
@@ -74,3 +77,86 @@ def test_multi_scale_haar_chain(tmp_path):
     assert final.shape == (2, 32, 32, 3)
     assert np.isfinite(final).all()
     assert glob.glob(os.path.join(str(tmp_path / "logs"), "multi_scale", "*.png"))
+    # reference fidelity (run_lib.py:224-239,323-329): concatenated
+    # pyramid|GT image + per-band supergrids logged to TensorBoard
+    assert glob.glob(
+        os.path.join(str(tmp_path / "logs"), "multi_scale", "pyramid_batch*.png")
+    )
+    assert glob.glob(
+        os.path.join(str(tmp_path / "logs"), "autoregressive_samples", "events.*")
+    )
+
+
+def test_rescale_and_concatenate_pyramid_shapes():
+    """Reference `rescale_and_concatenate` (`run_lib.py:224-239`): every level
+    NN-upsampled to the final resolution, per-image normalized, width-concat."""
+    from conditional_score_diffusion_tpu.eval.multiscale import rescale_and_concatenate
+
+    rng = np.random.RandomState(0)
+    pyramid = [rng.rand(2, s, s, 3).astype(np.float32) * 7 - 3 for s in (8, 16, 32)]
+    out = rescale_and_concatenate(pyramid)
+    assert out.shape == (2, 32, 32 * 3, 3)
+    # per-image normalization puts each level's slice in [0, 1]
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    for j in range(3):
+        sl = out[:, :, j * 32 : (j + 1) * 32]
+        assert sl.max() > 0.9  # each slice individually min-max normalized
+    # NN upsampling of the 8px level: 4x4 constant blocks
+    blk = out[:, :4, :4, :]
+    assert np.allclose(blk, blk[:, :1, :1, :])
+
+
+def _tiny_bicubic_scale_config(base_dir, dataset, image_size):
+    from conditional_score_diffusion_tpu.configs.srflow import hq160_sequential_config
+
+    c = hq160_sequential_config(40, "bicubic")
+    c.data.base_dir = base_dir
+    c.data.dataset = dataset
+    c.data.image_size = image_size
+    c.data.effective_image_size = image_size // 2
+    c.data.shape_x = [3, image_size, image_size]
+    c.data.shape_y = [3, image_size // 2, image_size // 2]
+    c.model.sigma_max_x = float(np.sqrt(np.prod(c.data.shape_x)))
+    c.model.sigma_max_y = float(np.sqrt(np.prod(c.data.shape_y)))
+    c.model.sigma_max_y_target = c.model.sigma_max_y / 2
+    c.model.nf = 8
+    c.model.ch_mult = (1, 2)
+    c.model.num_res_blocks = 1
+    c.model.attn_resolutions = (image_size // 4,)
+    c.model.num_scales = 10
+    c.eval.batch_size = 2
+    c.training.batch_size = 2
+    return c
+
+
+def test_multi_scale_bicubic_chain(tmp_path):
+    """Two bicubic SR scales (8px lr -> 16px -> 32px): each scale's 2xSR model
+    samples the next resolution conditioned on the previous sample
+    (reference `run_lib.py:149-163`)."""
+    for name, size in [("toybic16", 16), ("toybic32", 32)]:
+        d = tmp_path / name
+        d.mkdir()
+        for phase in ("train", "val", "test"):
+            _write_pklv4(str(d / f"{name}-{phase}.pklv4"), 6, size)
+            _write_pklv4(str(d / f"{name}-{phase}_X2.pklv4"), 6, size // 2)
+
+    master = ml_collections.ConfigDict()
+    master.coordinate_space = "bicubic"
+    master.seed = 0
+    master.scale_16 = _tiny_bicubic_scale_config(str(tmp_path), "toybic16", 16)
+    master.scale_32 = _tiny_bicubic_scale_config(str(tmp_path), "toybic32", 32)
+
+    from conditional_score_diffusion_tpu.eval.multiscale import run_multi_scale_test
+
+    results = run_multi_scale_test(
+        master, str(tmp_path / "logs"), p_steps=5, num_batches=1
+    )
+    final = results[0]
+    assert final.shape == (2, 32, 32, 3)
+    assert np.isfinite(final).all()
+    assert glob.glob(
+        os.path.join(str(tmp_path / "logs"), "multi_scale", "pyramid_batch*.png")
+    )
+    assert glob.glob(
+        os.path.join(str(tmp_path / "logs"), "autoregressive_samples", "events.*")
+    )

@@ -246,7 +246,15 @@ class TestColorizer:
         zg_out = decouple(out)[..., 0]
         zg_in = decouple(gray)[..., 0]
         np.testing.assert_allclose(np.asarray(zg_out), np.asarray(zg_in), atol=1e-4)
-        # chroma channels drawn from the model distribution: finite and spread
+        # distribution recovery (VERDICT round-1 item 8): the data law is
+        # isotropic N(MU*1, S^2 I) per pixel, so in the decoupled basis the
+        # chroma channels are N(0, S^2) independent of the gray channel --
+        # the exact-score colorizer must recover exactly that
+        chroma = np.asarray(decouple(out)[..., 1:])
+        np.testing.assert_allclose(chroma.mean(), 0.0, atol=0.05)
+        np.testing.assert_allclose(chroma.std(), S, atol=0.05)
+        # coupling back: per-pixel RGB mean must sit at the gray value
+        np.testing.assert_allclose(float(np.asarray(out).mean()), MU, atol=0.05)
         assert np.isfinite(np.asarray(out)).all()
 
     def test_couple_decouple_roundtrip(self):
