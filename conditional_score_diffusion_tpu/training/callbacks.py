@@ -30,6 +30,19 @@ register_callback = registry.callbacks.register
 get_callback = registry.callbacks.get
 
 
+def _viz_p_steps(config) -> int:
+    """Predictor steps for visualization sampling.
+
+    Must default to the FULL config.model.num_scales: the reverse-diffusion
+    predictor discretizes against the SDE's own N (reference
+    `sde_lib.py:360-372`), so sampling with fewer predictor steps than
+    num_scales under-denoises (observed: pure-noise visualization grids at
+    p_steps=200 on an N=1000 model).  `training.visualization_p_steps`
+    optionally overrides for speed with p_steps-consistent predictors.
+    """
+    return int(config.training.get("visualization_p_steps", 0) or config.model.num_scales)
+
+
 def image_grid(images: np.ndarray, nrow: Optional[int] = None) -> np.ndarray:
     """[B,H,W,C] in [0,1] -> one [H',W',C] grid (torchvision make_grid equivalent)."""
     B, H, W, C = images.shape
@@ -119,7 +132,7 @@ def image_visualization_callback(config, phase: str = "train"):
         task = create_task(config, trainer.module)
         n = min(16, config.eval.batch_size)
         shape = _sample_shape(config, n)
-        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        sampling_fn = task.sampling_fn(shape, p_steps=_viz_p_steps(config))
         show_evo = config.training.get("show_evolution", False)
         samples, info = sampling_fn(
             jax.random.key(step), trainer.state.ema.params, show_evolution=show_evo
@@ -140,7 +153,7 @@ def two_d_visualization_callback(config, phase: str = "train"):
         from .tasks import create_task
 
         task = create_task(config, trainer.module)
-        sampling_fn = task.sampling_fn((512, 2), p_steps=min(200, config.model.num_scales))
+        sampling_fn = task.sampling_fn((512, 2), p_steps=_viz_p_steps(config))
         samples, _ = sampling_fn(jax.random.key(step), trainer.state.ema.params)
         if trainer.writer is not None:
             trainer.writer.add_figure(
@@ -203,7 +216,7 @@ def paired_visualization_callback(config, phase: str = "train"):
         y = jnp.asarray(batch["y"])
         x_gt = np.asarray(batch["x"])
         shape = (y.shape[0],) + _xshape(config)
-        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        sampling_fn = task.sampling_fn(shape, p_steps=_viz_p_steps(config))
         samples, info = sampling_fn(
             jax.random.key(step), trainer.state.ema.params, y,
             show_evolution=show_evolution,
@@ -270,7 +283,7 @@ def haar_multiscale_callback(config, phase: str = "train"):
 
         task = create_task(config, trainer.module)
         shape = _sample_shape(config, 4)
-        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        sampling_fn = task.sampling_fn(shape, p_steps=_viz_p_steps(config))
         coeffs, info = sampling_fn(
             jax.random.key(step), trainer.state.ema.params,
             show_evolution=show_evolution,
@@ -306,7 +319,7 @@ def conditional_haar_multiscale_callback(config, phase: str = "train"):
         y = jnp.asarray(batch["y"])  # DC coefficients
         x_gt = jnp.asarray(batch["x"])  # HF coefficients
         shape = (y.shape[0],) + _xshape(config)
-        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        sampling_fn = task.sampling_fn(shape, p_steps=_viz_p_steps(config))
         sampled_hf, _ = sampling_fn(
             jax.random.key(step), trainer.state.ema.params, y,
             show_evolution=show_evolution,
@@ -336,7 +349,7 @@ def _sr_visualization(config, factor_fn, tag):
         y = jnp.asarray(batch["y"])
         x_gt = np.asarray(batch["x"])
         shape = (y.shape[0],) + _xshape(config)
-        sampling_fn = task.sampling_fn(shape, p_steps=min(200, config.model.num_scales))
+        sampling_fn = task.sampling_fn(shape, p_steps=_viz_p_steps(config))
         samples, _ = sampling_fn(
             jax.random.key(step), trainer.state.ema.params, y,
             show_evolution=show_evolution,
