@@ -70,6 +70,15 @@ class DDPM(nn.Module):
     output_channels: int
     nonlinearity: str = "swish"
     embedding_type: str = "positional"
+    #: Decoder skip handling: compute skip-concat blocks on the virtual
+    #: concatenation (GroupNorm/conv/NIN all distribute over the channel
+    #: split — exact math, identical params; see layers.SplitConv3x3).
+    #: Avoids the concat's pad/copy fusions on TPU — measured 7% per-eval
+    #: win on the flagship 160px ddpm_paired (BENCH_NOTES round 2).  Config
+    #: knob ``model.split_skip_convs``; config-built models default ON
+    #: (exact math, checkpoint-compatible), direct construction defaults
+    #: OFF so both paths stay covered by tests.
+    split_skip_convs: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -86,6 +95,7 @@ class DDPM(nn.Module):
             centered=config.data.centered,
             output_channels=m.output_channels,
             nonlinearity=m.nonlinearity.lower(),
+            split_skip_convs=m.get("split_skip_convs", True),
         )
 
     @nn.compact
@@ -107,8 +117,8 @@ class DDPM(nn.Module):
 
         h = x if self.centered else 2 * x - 1.0
 
-        resblock = lambda out_ch, name: ResnetBlockDDPM(
-            act=act, out_ch=out_ch, dropout=self.dropout, name=name
+        resblock = lambda out_ch, name, split=False: ResnetBlockDDPM(
+            act=act, out_ch=out_ch, dropout=self.dropout, name=name, split_skip=split
         )
 
         # Downsampling path.
@@ -137,9 +147,11 @@ class DDPM(nn.Module):
         # Upsampling path.
         for i_level in reversed(range(num_resolutions)):
             for i_block in range(self.num_res_blocks + 1):
-                h = resblock(nf * self.ch_mult[i_level], f"up_{i_level}_{i_block}")(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
-                )
+                h = resblock(
+                    nf * self.ch_mult[i_level],
+                    f"up_{i_level}_{i_block}",
+                    split=self.split_skip_convs,
+                )(h, temb, train, skip=hs.pop())
             if h.shape[1] in self.attn_resolutions:
                 h = AttnBlock(h.shape[-1], name=f"up_attn_{i_level}")(h)
             if i_level != 0:

@@ -125,6 +125,123 @@ def group_norm(ch: int, num_groups: Optional[int] = None, name: Optional[str] = 
     return nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, name=name)
 
 
+class _SplitDense(nn.Module):
+    """Dense over cat(a, b) without materializing the concat.
+
+    ``kernel``/``bias`` params are laid out exactly like ``nn.Dense`` over
+    the concatenated width, so checkpoints are interchangeable with the
+    joint path.
+    """
+
+    features: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca = a.shape[-1]
+        c = ca + b.shape[-1]
+        kernel = self.param("kernel", default_init(self.init_scale), (c, self.features))
+        bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+        k = kernel.astype(a.dtype)
+        return a @ k[:ca] + b @ k[ca:] + bias.astype(a.dtype)
+
+
+class SplitNIN(nn.Module):
+    """`NIN` over cat(a, b) as two matmuls + add (param layout matches NIN)."""
+
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, a, b):
+        return _SplitDense(self.num_units, self.init_scale, name="dense")(a, b)
+
+
+class SplitConv3x3(nn.Module):
+    """3x3 conv over cat(a, b): ``conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])``.
+
+    Mathematically exact (channel split distributes over the contraction)
+    and avoids materializing the concatenated activation — on TPU the
+    concat's `pad_maximum` fusion and the misaligned-lane copy are gone.
+    Param layout matches ``conv3x3``'s ``nn.Conv`` (kernel (3,3,C,out),
+    bias (out,)).
+    """
+
+    features: int
+    init_scale: float = 1.0
+    dim: int = 2
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca = a.shape[-1]
+        c = ca + b.shape[-1]
+        kernel = self.param(
+            "kernel", default_init(self.init_scale), (3,) * self.dim + (c, self.features)
+        )
+        bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+        spec = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}[self.dim]
+        dn = jax.lax.conv_dimension_numbers(a.shape, kernel.shape, spec)
+        k = kernel.astype(a.dtype)
+
+        def cv(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1,) * self.dim, "SAME", dimension_numbers=dn
+            )
+
+        out = cv(a, k[..., :ca, :]) + cv(b, k[..., ca:, :])
+        return out + bias.astype(a.dtype)
+
+
+class SplitGroupNorm(nn.Module):
+    """GroupNorm over cat(a, b) without materializing the concat.
+
+    Group statistics are assembled from per-channel partial moments of each
+    half — exact even when a group straddles the concat boundary (one-pass
+    mean/mean-of-squares, the same formulation ``nn.GroupNorm`` lowers to).
+    Params (scale/bias over the concatenated width) are interchangeable
+    with ``nn.GroupNorm``.  Returns the two normalized halves.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        c = ca + cb
+        g = self.num_groups
+        gs = c // g
+        scale = self.param("scale", jax.nn.initializers.ones, (c,))
+        bias = self.param("bias", jax.nn.initializers.zeros, (c,))
+
+        red = tuple(range(1, a.ndim - 1))  # spatial axes
+        n = float(math.prod(a.shape[1:-1]) * gs)
+
+        def moments(x):
+            xf = x.astype(jnp.float32)
+            return xf.sum(axis=red), (xf * xf).sum(axis=red)  # (B, Cx)
+
+        sa, qa = moments(a)
+        sb, qb = moments(b)
+        s = jnp.concatenate([sa, sb], -1).reshape(sa.shape[0], g, gs).sum(-1)
+        q = jnp.concatenate([qa, qb], -1).reshape(sa.shape[0], g, gs).sum(-1)
+        mu = s / n
+        var = q / n - mu * mu
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        mu_c = jnp.repeat(mu, gs, axis=-1)  # (B, C)
+        inv_c = jnp.repeat(inv, gs, axis=-1)
+
+        bcast = (slice(None),) + (None,) * len(red)
+
+        def norm(x, lo, hi):
+            m = mu_c[:, lo:hi][bcast + (slice(None),)]
+            iv = inv_c[:, lo:hi][bcast + (slice(None),)]
+            y = (x.astype(jnp.float32) - m) * iv * scale[lo:hi] + bias[lo:hi]
+            return y.astype(x.dtype)
+
+        return norm(a, 0, ca), norm(b, ca, c)
+
+
 def legacy_group_norm(ch: int, name: Optional[str] = None) -> nn.GroupNorm:
     """DDPM-era GroupNorm: 32 groups (reference `models/layers.py:637`).
 
@@ -209,13 +326,30 @@ class ResnetBlockDDPM(nn.Module):
     conv_shortcut: bool = False
     dropout: float = 0.1
     dim: int = 2
+    #: When True and a ``skip`` tensor is passed, compute the block on the
+    #: *virtual* concatenation cat(x, skip) without materializing it: the
+    #: input GroupNorm, first conv and NIN shortcut all distribute over the
+    #: channel split (see SplitGroupNorm/SplitConv3x3/SplitNIN).  Exact math,
+    #: identical parameter layout — a TPU layout optimization, not a new
+    #: architecture.
+    split_skip: bool = False
 
     @nn.compact
-    def __call__(self, x, temb=None, train: bool = False):
-        in_ch = x.shape[-1]
+    def __call__(self, x, temb=None, train: bool = False, skip=None):
+        if skip is not None and not self.split_skip:
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
+        in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = self.act(legacy_group_norm(in_ch, name="norm0")(x))
-        h = conv3x3(out_ch, dim=self.dim, name="conv0")(h)
+        if skip is None:
+            h = self.act(legacy_group_norm(in_ch, name="norm0")(x))
+            h = conv3x3(out_ch, dim=self.dim, name="conv0")(h)
+        else:
+            groups = 32 if in_ch % 32 == 0 else math.gcd(in_ch, 32)
+            na, nb = SplitGroupNorm(groups, name="norm0")(x, skip)
+            h = SplitConv3x3(out_ch, dim=self.dim, name="conv0")(
+                self.act(na), self.act(nb)
+            )
         if temb is not None:
             temb_proj = nn.Dense(
                 out_ch,
@@ -229,7 +363,16 @@ class ResnetBlockDDPM(nn.Module):
         h = conv3x3(out_ch, init_scale=0.0, dim=self.dim, name="conv1")(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
+                if skip is not None:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    skip = None
                 x = conv3x3(out_ch, dim=self.dim, name="shortcut")(x)
+            elif skip is not None:
+                x = SplitNIN(out_ch, name="shortcut")(x, skip)
+                skip = None
             else:
                 x = NIN(out_ch, name="shortcut")(x)
+        elif skip is not None:  # identity residual needs the real concat
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
         return x + h
