@@ -158,25 +158,28 @@ class SplitNIN(nn.Module):
 
 
 class SplitConv3x3(nn.Module):
-    """3x3 conv over cat(a, b): ``conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])``.
+    """KxK conv over cat(a, b): ``conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])``.
 
     Mathematically exact (channel split distributes over the contraction)
     and avoids materializing the concatenated activation — on TPU the
     concat's `pad_maximum` fusion and the misaligned-lane copy are gone.
-    Param layout matches ``conv3x3``'s ``nn.Conv`` (kernel (3,3,C,out),
-    bias (out,)).
+    Param layout matches ``conv3x3``/``conv1x1``'s ``nn.Conv``
+    (kernel (K,K,C,out), bias (out,)).
     """
 
     features: int
     init_scale: float = 1.0
     dim: int = 2
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self, a, b):
         ca = a.shape[-1]
         c = ca + b.shape[-1]
         kernel = self.param(
-            "kernel", default_init(self.init_scale), (3,) * self.dim + (c, self.features)
+            "kernel",
+            default_init(self.init_scale),
+            (self.kernel_size,) * self.dim + (c, self.features),
         )
         bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
         spec = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}[self.dim]

@@ -21,7 +21,21 @@ from ..ops import (
     upsample_2d,
     upsample_conv_2d,
 )
-from .layers import NIN, _spatial_attention, conv1x1, conv3x3, default_init, group_norm
+from .layers import (
+    NIN,
+    SplitConv3x3,
+    SplitGroupNorm,
+    SplitNIN,
+    _spatial_attention,
+    conv1x1,
+    conv3x3,
+    default_init,
+    group_norm,
+)
+
+# 1/sqrt(2) as a weak-typed Python float: `x / np.sqrt(2.0)` would promote
+# bfloat16 activations to float32 (NumPy scalars are strongly typed).
+_INV_SQRT2 = float(1.0 / np.sqrt(2.0))
 
 
 class GaussianFourierProjection(nn.Module):
@@ -80,7 +94,7 @@ class AttnBlockpp(nn.Module):
         h = NIN(self.channels, init_scale=self.init_scale, name="out")(h)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * _INV_SQRT2
 
 
 class Upsample(nn.Module):
@@ -140,13 +154,21 @@ class ResnetBlockDDPMpp(nn.Module):
     dropout: float = 0.1
     skip_rescale: bool = False
     init_scale: float = 0.0
+    split_skip: bool = False  # see layers.ResnetBlockDDPM.split_skip
 
     @nn.compact
-    def __call__(self, x, temb=None, train: bool = False):
-        in_ch = x.shape[-1]
+    def __call__(self, x, temb=None, train: bool = False, skip=None):
+        if skip is not None and not self.split_skip:
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
+        in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = self.act(group_norm(in_ch, name="norm0")(x))
-        h = conv3x3(out_ch, name="conv0")(h)
+        if skip is None:
+            h = self.act(group_norm(in_ch, name="norm0")(x))
+            h = conv3x3(out_ch, name="conv0")(h)
+        else:
+            na, nb = SplitGroupNorm(min(in_ch // 4, 32), name="norm0")(x, skip)
+            h = SplitConv3x3(out_ch, name="conv0")(self.act(na), self.act(nb))
         if temb is not None:
             proj = nn.Dense(
                 out_ch,
@@ -160,12 +182,21 @@ class ResnetBlockDDPMpp(nn.Module):
         h = conv3x3(out_ch, init_scale=self.init_scale, name="conv1")(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
+                if skip is not None:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    skip = None
                 x = conv3x3(out_ch, name="shortcut")(x)
+            elif skip is not None:
+                x = SplitNIN(out_ch, name="shortcut")(x, skip)
+                skip = None
             else:
                 x = NIN(out_ch, name="shortcut")(x)
+        elif skip is not None:  # identity residual needs the real concat
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * _INV_SQRT2
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -181,12 +212,22 @@ class ResnetBlockBigGANpp(nn.Module):
     fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    split_skip: bool = False  # see layers.ResnetBlockDDPM.split_skip
 
     @nn.compact
-    def __call__(self, x, temb=None, train: bool = False):
-        in_ch = x.shape[-1]
+    def __call__(self, x, temb=None, train: bool = False, skip=None):
+        # In-block resampling reshapes both paths; the virtual-concat split
+        # only applies to the plain (decoder skip-concat) case.
+        if skip is not None and not (self.split_skip and not self.up and not self.down):
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
+        in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         out_ch = self.out_ch if self.out_ch is not None else in_ch
-        h = self.act(group_norm(in_ch, name="norm0")(x))
+        if skip is None:
+            h = self.act(group_norm(in_ch, name="norm0")(x))
+        else:
+            na, nb = SplitGroupNorm(min(in_ch // 4, 32), name="norm0")(x, skip)
+            h = (self.act(na), self.act(nb))
 
         if self.up:
             if self.fir:
@@ -203,7 +244,10 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
 
-        h = conv3x3(out_ch, name="conv0")(h)
+        if isinstance(h, tuple):
+            h = SplitConv3x3(out_ch, name="conv0")(*h)
+        else:
+            h = conv3x3(out_ch, name="conv0")(h)
         if temb is not None:
             proj = nn.Dense(
                 out_ch,
@@ -217,8 +261,15 @@ class ResnetBlockBigGANpp(nn.Module):
         h = conv3x3(out_ch, init_scale=self.init_scale, name="conv1")(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="shortcut")(x)
+            if skip is not None:
+                x = SplitConv3x3(out_ch, kernel_size=1, name="shortcut")(x, skip)
+                skip = None
+            else:
+                x = conv1x1(out_ch, name="shortcut")(x)
+        elif skip is not None:  # identity residual needs the real concat
+            x = jnp.concatenate([x, skip], axis=-1)
+            skip = None
 
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * _INV_SQRT2

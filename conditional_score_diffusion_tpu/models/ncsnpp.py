@@ -28,6 +28,10 @@ from .layerspp import (
     Upsample,
 )
 
+# 1/sqrt(2) as a weak-typed Python float: `x / np.sqrt(2.0)` would promote
+# bfloat16 activations to float32 (NumPy scalars are strongly typed).
+_INV_SQRT2 = float(1.0 / np.sqrt(2.0))
+
 _ACTS = {
     "elu": jax.nn.elu,
     "relu": jax.nn.relu,
@@ -59,6 +63,10 @@ class NCSNpp(nn.Module):
     fourier_scale: float
     combine_method: str
     nonlinearity: str = "swish"
+    #: Decoder skip-concat blocks computed on the virtual concatenation
+    #: (exact math, identical params — see layers.SplitConv3x3).  Default ON
+    #: for config-built models; ``model.split_skip_convs`` disables.
+    split_skip_convs: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -85,9 +93,10 @@ class NCSNpp(nn.Module):
             fourier_scale=m.fourier_scale,
             combine_method=m.progressive_combine.lower(),
             nonlinearity=m.nonlinearity.lower(),
+            split_skip_convs=m.get("split_skip_convs", True),
         )
 
-    def _resblock(self, act, name, out_ch=None, up=False, down=False):
+    def _resblock(self, act, name, out_ch=None, up=False, down=False, split=False):
         if self.resblock_type == "ddpm":
             assert not (up or down)
             return ResnetBlockDDPMpp(
@@ -96,6 +105,7 @@ class NCSNpp(nn.Module):
                 dropout=self.dropout,
                 init_scale=self.init_scale,
                 skip_rescale=self.skip_rescale,
+                split_skip=split,
                 name=name,
             )
         return ResnetBlockBigGANpp(
@@ -108,6 +118,7 @@ class NCSNpp(nn.Module):
             fir_kernel=self.fir_kernel,
             init_scale=self.init_scale,
             skip_rescale=self.skip_rescale,
+            split_skip=split,
             name=name,
         )
 
@@ -187,7 +198,7 @@ class NCSNpp(nn.Module):
                         name=f"pyr_down_{i_level}",
                     )(input_pyramid)
                     if self.skip_rescale:
-                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) * _INV_SQRT2
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -205,9 +216,9 @@ class NCSNpp(nn.Module):
         for i_level in reversed(range(num_resolutions)):
             for i_block in range(self.num_res_blocks + 1):
                 out_ch = nf * self.ch_mult[i_level]
-                h = self._resblock(act, f"up_{i_level}_{i_block}", out_ch)(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
-                )
+                h = self._resblock(
+                    act, f"up_{i_level}_{i_block}", out_ch, split=self.split_skip_convs
+                )(h, temb, train, skip=hs.pop())
             if h.shape[1] in self.attn_resolutions:
                 h = attn(h.shape[-1], f"up_attn_{i_level}")(h)
 
@@ -244,7 +255,7 @@ class NCSNpp(nn.Module):
                             name=f"pyr_up_{i_level}",
                         )(pyramid)
                         if self.skip_rescale:
-                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                            pyramid = (pyramid + h) * _INV_SQRT2
                         else:
                             pyramid = pyramid + h
                         h = pyramid

@@ -108,3 +108,42 @@ class TestSplitSkipDDPM:
         flat_s = jnp.concatenate([g.ravel() for g in jtu.tree_leaves(gs)])
         denom = float(jnp.abs(flat_j).max())
         assert float(jnp.abs(flat_j - flat_s).max()) <= 1e-4 * max(denom, 1e-8)
+
+
+class TestSplitSkipNCSNpp:
+    def _make(self, resblock_type, split):
+        import ml_collections
+
+        from conditional_score_diffusion_tpu.models.ncsnpp import NCSNpp
+
+        c = ml_collections.ConfigDict(
+            dict(
+                model=dict(
+                    name="ncsnpp", nf=32, ch_mult=(1, 2), num_res_blocks=2,
+                    attn_resolutions=(8,), dropout=0.0, resamp_with_conv=True,
+                    conditional=True, fir=True, fir_kernel=[1, 3, 3, 1],
+                    skip_rescale=True, resblock_type=resblock_type,
+                    progressive="none", progressive_input="none",
+                    embedding_type="positional", init_scale=0.0,
+                    fourier_scale=16, progressive_combine="sum",
+                    nonlinearity="swish", split_skip_convs=split,
+                ),
+                data=dict(effective_image_size=16, centered=True, num_channels=3),
+            )
+        )
+        return NCSNpp.from_config(c)
+
+    @pytest.mark.parametrize("resblock_type", ["biggan", "ddpm"])
+    def test_forward_exact_and_layout(self, resblock_type):
+        joint = self._make(resblock_type, split=False)
+        split = self._make(resblock_type, split=True)
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+        t = jnp.array([0.3, 0.7])
+        pj = joint.init(jax.random.key(1), x, t)["params"]
+        ps = split.init(jax.random.key(1), x, t)["params"]
+        shapes = lambda p: jtu.tree_map(lambda a: a.shape, p)
+        assert shapes(pj) == shapes(ps)
+        oj = joint.apply({"params": pj}, x, t)
+        os_ = split.apply({"params": pj}, x, t)
+        scale = float(jnp.abs(oj).max())
+        assert float(jnp.abs(oj - os_).max()) <= 1e-5 * max(scale, 1e-8) + 1e-9
