@@ -59,6 +59,10 @@ class DDPM3D(nn.Module):
     output_channels: int
     nonlinearity: str = "swish"
     embedding_type: str = "positional"
+    #: Virtual-concat decoder skip blocks (exact math, identical params —
+    #: see layers.SplitConv3x3); `model.split_skip_convs`, default ON for
+    #: config-built models.
+    split_skip_convs: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -73,6 +77,7 @@ class DDPM3D(nn.Module):
             centered=config.data.centered,
             output_channels=m.output_channels,
             nonlinearity=m.nonlinearity.lower(),
+            split_skip_convs=m.get("split_skip_convs", True),
         )
 
     @nn.compact
@@ -91,8 +96,9 @@ class DDPM3D(nn.Module):
 
         h = x if self.centered else 2 * x - 1.0
 
-        resblock = lambda out_ch, name: ResnetBlockDDPM(
-            act=act, out_ch=out_ch, conv_shortcut=True, dropout=self.dropout, dim=3, name=name
+        resblock = lambda out_ch, name, split=False: ResnetBlockDDPM(
+            act=act, out_ch=out_ch, conv_shortcut=True, dropout=self.dropout,
+            dim=3, split_skip=split, name=name
         )
 
         hs = [conv3x3(nf, dim=3, name="conv_in")(h)]
@@ -115,9 +121,11 @@ class DDPM3D(nn.Module):
 
         for i_level in reversed(range(num_resolutions)):
             for i_block in range(self.num_res_blocks + 1):
-                h = resblock(nf * self.ch_mult[i_level], f"up_{i_level}_{i_block}")(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
-                )
+                h = resblock(
+                    nf * self.ch_mult[i_level],
+                    f"up_{i_level}_{i_block}",
+                    split=self.split_skip_convs,
+                )(h, temb, train, skip=hs.pop())
             if i_level != 0:
                 h = Upsample3D(h.shape[-1], with_conv=self.resamp_with_conv, name=f"up_{i_level}")(h)
 

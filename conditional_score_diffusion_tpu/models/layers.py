@@ -367,9 +367,10 @@ class ResnetBlockDDPM(nn.Module):
         if in_ch != out_ch:
             if self.conv_shortcut:
                 if skip is not None:
-                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = SplitConv3x3(out_ch, dim=self.dim, name="shortcut")(x, skip)
                     skip = None
-                x = conv3x3(out_ch, dim=self.dim, name="shortcut")(x)
+                else:
+                    x = conv3x3(out_ch, dim=self.dim, name="shortcut")(x)
             elif skip is not None:
                 x = SplitNIN(out_ch, name="shortcut")(x, skip)
                 skip = None

@@ -147,3 +147,26 @@ class TestSplitSkipNCSNpp:
         os_ = split.apply({"params": pj}, x, t)
         scale = float(jnp.abs(oj).max())
         assert float(jnp.abs(oj - os_).max()) <= 1e-5 * max(scale, 1e-8) + 1e-9
+
+
+class TestSplitSkipDDPM3D:
+    def test_forward_exact_and_layout(self):
+        from conditional_score_diffusion_tpu.models.ddpm3d import DDPM3D
+
+        kw = dict(
+            nf=16, ch_mult=(1, 2), num_res_blocks=1, dropout=0.0,
+            resamp_with_conv=True, conditional=True, centered=True,
+            output_channels=1,
+        )
+        joint = DDPM3D(**kw, split_skip_convs=False)
+        split = DDPM3D(**kw, split_skip_convs=True)
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8, 1))
+        t = jnp.array([0.3, 0.7])
+        pj = joint.init(jax.random.key(1), x, t)["params"]
+        ps = split.init(jax.random.key(1), x, t)["params"]
+        shapes = lambda p: jtu.tree_map(lambda a: a.shape, p)
+        assert shapes(pj) == shapes(ps)
+        oj = joint.apply({"params": pj}, x, t)
+        os_ = split.apply({"params": pj}, x, t)
+        scale = float(jnp.abs(oj).max())
+        assert float(jnp.abs(oj - os_).max()) <= 1e-5 * max(scale, 1e-8) + 1e-9
