@@ -40,12 +40,15 @@ class BasicConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # metric-path conv: force full f32 accumulation (TPU default
+        # bf16-pass precision would perturb FID activations)
         x = nn.Conv(
             self.features,
             self.kernel,
             strides=self.strides,
             padding=self.padding,
             use_bias=True,
+            precision=jax.lax.Precision.HIGHEST,
             name="conv",
         )(x)
         return nn.relu(x)

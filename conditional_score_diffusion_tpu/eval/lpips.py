@@ -40,8 +40,10 @@ def _alex_features(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     taps = []
     for i, (out_ch, k, s, p) in enumerate(_ALEX_CONVS):
         w, b = params[f"conv{i}"]["kernel"], params[f"conv{i}"]["bias"]
+        # metric-path conv: full f32 accumulation (see eval/metrics.py note)
         h = jax.lax.conv_general_dilated(
-            h, w, (s, s), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+            h, w, (s, s), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         ) + b
         h = jax.nn.relu(h)
         taps.append(h)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,7 +78,17 @@ def imresize(
         out_h, out_w = out_shape
     Mh = jnp.asarray(resize_matrix(H, out_h, antialias))
     Mw = jnp.asarray(resize_matrix(W, out_w, antialias))
-    out = jnp.einsum("oh,bhwc->bowc", Mh, img, preferred_element_type=jnp.float32)
-    out = jnp.einsum("pw,bowc->bopc", Mw, out, preferred_element_type=jnp.float32)
+    # HIGHEST precision: these resize matmuls feed metrics (consistency
+    # PSNR) and dataset degradations — TPU default bf16-pass matmuls add
+    # ~0.4% relative error to pixel values, which parity tests (and PSNR at
+    # >50 dB) can see.
+    out = jnp.einsum(
+        "oh,bhwc->bowc", Mh, img,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "pw,bowc->bopc", Mw, out,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
     out = out.astype(img.dtype)
     return out[0] if squeeze else out

@@ -139,3 +139,28 @@ def test_image_to_image_consistency_fn():
     a = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
     v = fn(a, a)
     assert np.isinf(v) or v > 50
+
+
+class TestMetricPrecision:
+    """Metric-path matmuls/convs must request HIGHEST precision: TPU default
+    (bf16-pass) conv precision corrupts SSIM's E[x^2]-mu^2 variance terms at
+    the [0,255] working scale (measured 0.795 vs 0.881 on the same data) and
+    perturbs resize-based consistency PSNR."""
+
+    def test_ssim_conv_requests_highest(self):
+        import jax
+
+        from conditional_score_diffusion_tpu.eval.metrics import ssim
+
+        a = jnp.zeros((1, 16, 16, 3))
+        jaxpr = str(jax.make_jaxpr(ssim)(a, a))
+        assert "HIGHEST" in jaxpr
+
+    def test_imresize_requests_highest(self):
+        import jax
+
+        from conditional_score_diffusion_tpu.ops.resize import imresize
+
+        a = jnp.zeros((1, 16, 16, 3))
+        jaxpr = str(jax.make_jaxpr(lambda x: imresize(x, scale=0.5))(a))
+        assert "HIGHEST" in jaxpr
