@@ -118,10 +118,24 @@ class NIN(nn.Module):
         )(x)
 
 
+def default_num_groups(ch: int) -> int:
+    """NCSN++ GroupNorm group heuristic (reference models/layerspp.py:67).
+
+    Shared by ``group_norm`` and the split-skip SplitGroupNorm call sites so
+    the joint and split paths can never diverge numerically.
+    """
+    return min(ch // 4, 32)
+
+
+def legacy_num_groups(ch: int) -> int:
+    """DDPM-era GroupNorm(32) with a gcd fallback for tiny channel counts."""
+    return 32 if ch % 32 == 0 else math.gcd(ch, 32)
+
+
 def group_norm(ch: int, num_groups: Optional[int] = None, name: Optional[str] = None) -> nn.GroupNorm:
     """GroupNorm with the NCSN++ group heuristic and eps=1e-6."""
     if num_groups is None:
-        num_groups = min(ch // 4, 32)
+        num_groups = default_num_groups(ch)
     return nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, name=name)
 
 
@@ -252,8 +266,7 @@ def legacy_group_norm(ch: int, name: Optional[str] = None) -> nn.GroupNorm:
     config); falls back to gcd(ch, 32) groups for tiny channel counts that
     would crash the reference outright.
     """
-    groups = 32 if ch % 32 == 0 else math.gcd(ch, 32)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+    return nn.GroupNorm(num_groups=legacy_num_groups(ch), epsilon=1e-6, name=name)
 
 
 def _spatial_attention(q, k, v):
@@ -348,8 +361,7 @@ class ResnetBlockDDPM(nn.Module):
             h = self.act(legacy_group_norm(in_ch, name="norm0")(x))
             h = conv3x3(out_ch, dim=self.dim, name="conv0")(h)
         else:
-            groups = 32 if in_ch % 32 == 0 else math.gcd(in_ch, 32)
-            na, nb = SplitGroupNorm(groups, name="norm0")(x, skip)
+            na, nb = SplitGroupNorm(legacy_num_groups(in_ch), name="norm0")(x, skip)
             h = SplitConv3x3(out_ch, dim=self.dim, name="conv0")(
                 self.act(na), self.act(nb)
             )

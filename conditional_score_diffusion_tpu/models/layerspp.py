@@ -30,6 +30,7 @@ from .layers import (
     conv1x1,
     conv3x3,
     default_init,
+    default_num_groups,
     group_norm,
 )
 
@@ -167,7 +168,7 @@ class ResnetBlockDDPMpp(nn.Module):
             h = self.act(group_norm(in_ch, name="norm0")(x))
             h = conv3x3(out_ch, name="conv0")(h)
         else:
-            na, nb = SplitGroupNorm(min(in_ch // 4, 32), name="norm0")(x, skip)
+            na, nb = SplitGroupNorm(default_num_groups(in_ch), name="norm0")(x, skip)
             h = SplitConv3x3(out_ch, name="conv0")(self.act(na), self.act(nb))
         if temb is not None:
             proj = nn.Dense(
@@ -227,7 +228,7 @@ class ResnetBlockBigGANpp(nn.Module):
         if skip is None:
             h = self.act(group_norm(in_ch, name="norm0")(x))
         else:
-            na, nb = SplitGroupNorm(min(in_ch // 4, 32), name="norm0")(x, skip)
+            na, nb = SplitGroupNorm(default_num_groups(in_ch), name="norm0")(x, skip)
             h = (self.act(na), self.act(nb))
 
         if self.up:

@@ -49,7 +49,9 @@ def group_norm_stats(x_hwbc: jnp.ndarray, num_groups: int):
     """
     H, W, B, C = x_hwbc.shape
     G = num_groups
-    xg = x_hwbc.reshape(H, W, B, G, C // G)
+    # f32 statistics regardless of input dtype, matching the XLA reference
+    # path (gn_silu_conv3x3_reference) the kernel replaces.
+    xg = x_hwbc.reshape(H, W, B, G, C // G).astype(jnp.float32)
     mean = jnp.mean(xg, axis=(0, 1, 4))  # (B, G)
     var = jnp.mean(jnp.square(xg), axis=(0, 1, 4)) - jnp.square(mean)
     rstd = jax.lax.rsqrt(var + 1e-6)  # GroupNorm eps=1e-6 (layerspp.py:67)

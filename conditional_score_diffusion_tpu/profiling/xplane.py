@@ -132,7 +132,9 @@ def _parse_stat(buf: bytes, stat_meta: Dict[int, str]) -> XStat:
         if field == 1:
             name = stat_meta.get(val, str(val))
         elif field == 2:
-            value = struct.unpack("<d", struct.pack("<Q", val))[0] if isinstance(val, int) else val
+            # I64 payloads were decoded signed ("<q") in _fields; re-pack
+            # signed so negative doubles round-trip instead of raising.
+            value = struct.unpack("<d", struct.pack("<q", val))[0] if isinstance(val, int) else val
         elif field in (3, 4, 7):
             value = val
         elif field == 5:
@@ -307,7 +309,10 @@ def device_op_table(planes: List[XPlane], async_ops: bool = False) -> List[dict]
                     category = category.decode("utf-8", "replace")
                 fam = _classify(ev.name, category if isinstance(category, str) else None)
                 key = (ev.name, fam)
-                agg[key][0] += ev.duration_ps * max(ev.num_occurrences, 1)
+                # In aggregated planes duration_ps is already the summed
+                # total across occurrences; multiplying by num_occurrences
+                # would double-count (raw traces leave it unset -> 1).
+                agg[key][0] += ev.duration_ps
                 agg[key][1] += max(ev.num_occurrences, 1)
     rows = [
         {
