@@ -43,8 +43,9 @@ def build(out_dir: str, size: int = 64, stride: int = 16, seed: int = 0) -> None
         "test": crops[n - n_val :],
     }
     os.makedirs(out_dir, exist_ok=True)
+    name = os.path.basename(os.path.normpath(out_dir))
     for phase, items in splits.items():
-        path = os.path.join(out_dir, f"texture64-{phase}.pklv4")
+        path = os.path.join(out_dir, f"{name}-{phase}.pklv4")
         with open(path, "wb") as f:
             pickle.dump(items, f)
         print(f"{path}: {len(items)} crops of {size}x{size}")

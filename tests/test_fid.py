@@ -61,3 +61,27 @@ def test_inception_deterministic():
     a = apply_fn(params, x)[0]
     b = apply_fn(params, x)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fid_parity_runbook():
+    """The north-star FID-parity number is one command away when weights
+    land (VERDICT round-2 item 8): with CSDT_INCEPTION_WEIGHTS set this
+    runs the full two-framework comparison and asserts <1%; without it,
+    the script must exit 0 with an explicit SKIPPED reason."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "fid_parity.py")],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    gated = not os.environ.get("CSDT_INCEPTION_WEIGHTS")
+    if gated:
+        assert "SKIPPED" in r.stdout, r.stdout
+        import pytest as _pytest
+
+        _pytest.skip("inception weights egress-gated; runbook skip path verified")
+    assert "PASSED" in r.stdout, r.stdout
