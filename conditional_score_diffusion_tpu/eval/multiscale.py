@@ -112,6 +112,10 @@ def run_multi_scale_test(
         config = master_config[k]
         task, state = _load_scale(config)
         scales.append((config, task, state))
+    # chain low -> high resolution (the reference keys scale_info by
+    # image_size, `run_lib.py:264-278`); lexicographic key order would put
+    # config_160 before config_40
+    scales.sort(key=lambda s: int(s[0].data.image_size))
 
     # Lowest-scale conditioning comes from the first config's test split; the
     # GT batch comes from the highest-scale config's test split (reference

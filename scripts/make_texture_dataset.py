@@ -21,7 +21,8 @@ import pickle
 import numpy as np
 
 
-def build(out_dir: str, size: int = 64, stride: int = 16, seed: int = 0) -> None:
+def build(out_dir: str, size: int = 64, stride: int = 16, seed: int = 0,
+          lq_scales: tuple = ()) -> None:
     from sklearn.datasets import load_sample_images
 
     images = load_sample_images().images  # [china, flower], HWC uint8
@@ -49,6 +50,20 @@ def build(out_dir: str, size: int = 64, stride: int = 16, seed: int = 0) -> None
         with open(path, "wb") as f:
             pickle.dump(items, f)
         print(f"{path}: {len(items)} crops of {size}x{size}")
+        for s in lq_scales:
+            from conditional_score_diffusion_tpu.data.degradations import bicubic_resize_np
+
+            lq = [
+                np.clip(
+                    bicubic_resize_np(im[None].astype(np.float32) / 255.0, size // s)[0]
+                    * 255.0, 0, 255,
+                ).astype(np.uint8)
+                for im in items
+            ]
+            lq_path = os.path.join(out_dir, f"{name}-{phase}_X{s}.pklv4")
+            with open(lq_path, "wb") as f:
+                pickle.dump(lq, f)
+            print(f"{lq_path}: {len(lq)} crops of {size//s}x{size//s}")
 
 
 if __name__ == "__main__":
@@ -56,5 +71,9 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="datasets/texture64")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--stride", type=int, default=16)
+    ap.add_argument("--lq-scales", type=int, nargs="*", default=[])
     args = ap.parse_args()
-    build(args.out, args.size, args.stride)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    build(args.out, args.size, args.stride, lq_scales=tuple(args.lq_scales))
