@@ -52,6 +52,70 @@ def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int, max_posit
     return emb
 
 
+#: Global shape-gated lowering policy for stride-1 SAME 3x3 convs.
+#: ``None`` -> always XLA's native conv.  Otherwise a callable
+#: ``policy(x_shape, out_ch) -> {'xla','im2col','s2d4','s2d_dense'}``.
+#: Set via :func:`set_conv_dispatch` (configs are static, so the policy is
+#: resolved at trace time; every mode is an exact-math rewrite of the same
+#: convolution — see `ops/im2col.py` and `ops/space_to_depth.py`).
+_CONV_DISPATCH: dict = {"policy": None}
+
+
+def set_conv_dispatch(policy: Optional[Callable]) -> None:
+    _CONV_DISPATCH["policy"] = policy
+
+
+def default_tpu_conv_policy(x_shape, out_ch: int) -> str:
+    """Measured round-3 policy (BENCH_NOTES round 3): im2col-matmul beats
+    XLA's conv lowering for the latency-bound low-resolution tail."""
+    B, H, W, C = x_shape
+    if H * W <= 400:  # the 5x5-20x20 tail
+        return "im2col"
+    return "xla"
+
+
+class DispatchConv3x3(nn.Module):
+    """`nn.Conv`-param-compatible stride-1 SAME 3x3 conv whose lowering is
+    chosen by the global dispatch policy.  Parameter layout (``kernel``
+    (3,3,C,out), ``bias`` (out,)) is identical to the `nn.Conv` returned by
+    :func:`conv3x3`, so checkpoints are interchangeable."""
+
+    features: int
+    init_scale: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", default_init(self.init_scale), (3, 3, C, self.features)
+        )
+        k = kernel.astype(x.dtype)
+        policy = _CONV_DISPATCH["policy"]
+        mode = policy(x.shape, self.features) if policy is not None else "xla"
+        if mode == "im2col":
+            from ..ops.im2col import conv3x3_im2col
+
+            y = conv3x3_im2col(x, k)
+        elif mode == "s2d4":
+            from ..ops.space_to_depth import conv3x3_via_s2d_4way
+
+            y = conv3x3_via_s2d_4way(x, k)
+        elif mode == "s2d_dense":
+            from ..ops.space_to_depth import conv3x3_via_s2d_dense
+
+            y = conv3x3_via_s2d_dense(x, k)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def conv3x3(
     out_ch: int,
     stride: int = 1,
@@ -61,8 +125,16 @@ def conv3x3(
     padding: Any = 1,
     dim: int = 2,
     name: Optional[str] = None,
-) -> nn.Conv:
+) -> nn.Module:
     """3x3 conv with DDPM init (reference `models/layers.py:119-133`). NHWC/NDHWC."""
+    if (
+        dim == 2
+        and stride == 1
+        and dilation == 1
+        and padding == 1
+        and _CONV_DISPATCH["policy"] is not None
+    ):
+        return DispatchConv3x3(out_ch, init_scale=init_scale, use_bias=bias, name=name)
     if isinstance(padding, int):
         padding = [(padding, padding)] * dim
     return nn.Conv(
