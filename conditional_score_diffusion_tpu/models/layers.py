@@ -66,8 +66,9 @@ def set_conv_dispatch(policy: Optional[Callable]) -> None:
 
 
 def default_tpu_conv_policy(x_shape, out_ch: int) -> str:
-    """Measured round-3 policy (BENCH_NOTES round 3): im2col-matmul beats
-    XLA's conv lowering for the latency-bound low-resolution tail."""
+    """Candidate policy for the latency-bound low-resolution tail; only
+    becomes the production default where BENCH_NOTES round 3 records a
+    measured win (see `scripts/bench_lowres_conv.py`)."""
     B, H, W, C = x_shape
     if H * W <= 400:  # the 5x5-20x20 tail
         return "im2col"
