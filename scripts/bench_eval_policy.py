@@ -1,0 +1,89 @@
+"""End-to-end flagship score-network eval time under conv dispatch policies.
+
+Measures one `ddpm_paired` nf=96 160px eval (the headline sampler's inner
+op) at B16 bf16, K-chained in one dispatch, for each named policy:
+
+  xla      : production today (policy None)
+  im2col20 : im2col for the 5x5-20x20 tail
+  s2d160   : s2d_4way at H>=80 stride-1 convs
+  both     : im2col tail + s2d high-res
+
+Usage: python scripts/bench_eval_policy.py [K] [policy ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from conditional_score_diffusion_tpu.models import init_model_shapes_only  # noqa: E402
+from conditional_score_diffusion_tpu.models import layers  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+ONLY = set(sys.argv[2:])
+
+POLICIES = {
+    "xla": None,
+    "im2col20": lambda s, o: "im2col" if s[1] * s[2] <= 400 else "xla",
+    "s2d160": lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
+    "both": lambda s, o: (
+        "im2col" if s[1] * s[2] <= 400 else ("s2d4" if s[1] >= 80 and s[1] == s[2] else "xla")
+    ),
+}
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+
+    config = _flagship_config()
+    B = 16
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, 160, 160, 3).astype(np.float32), jnp.bfloat16)
+    y = jnp.asarray(rng.rand(B, 160, 160, 3).astype(np.float32), jnp.bfloat16)
+    t = jnp.full((B,), 100.0, jnp.bfloat16)
+
+    results = {}
+    for name, policy in POLICIES.items():
+        if ONLY and name not in ONLY:
+            continue
+        layers.set_conv_dispatch(policy)
+        module, params = init_model_shapes_only(config, jax.random.key(0))
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+        @jax.jit
+        def evals(p, x, y, t):
+            def body(h, _):
+                out = module.apply({"params": p}, {"x": h, "y": y}, t)
+                return out["x"].astype(h.dtype), None
+            h, _ = jax.lax.scan(body, x, None, length=K)
+            return h
+
+        try:
+            t0 = time.perf_counter()
+            out = evals(params, x, y, t)
+            float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+            warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = evals(params, x, y, t)
+            float(jnp.asarray(out).ravel()[0].astype(jnp.float32))
+            per = (time.perf_counter() - t0) / K
+            results[name] = per
+            print(f"{name}: {per*1e3:.2f} ms/eval [warm {warm:.0f}s]", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+        finally:
+            layers.set_conv_dispatch(None)
+
+    if "xla" in results:
+        base = results["xla"]
+        for name, per in results.items():
+            if name != "xla":
+                print(f"  {name} vs xla: {base/per:.3f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

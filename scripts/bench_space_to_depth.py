@@ -55,7 +55,10 @@ def chain(step, x0, *consts):
     return run
 
 
-SHAPES = [(16, 160, 160, 96), (8, 160, 160, 96), (16, 80, 80, 192)]
+# B16 single-conv scan chains are pathological on this toolchain
+# (~1.27 s/conv vs ~0.3 ms inside the model — BENCH_NOTES round 3);
+# microbench at B8 and take B16 evidence from end-to-end eval deltas.
+SHAPES = [(8, 160, 160, 96), (8, 80, 80, 192)]
 DTYPE = jnp.bfloat16
 
 for B, H, W, C in SHAPES:
