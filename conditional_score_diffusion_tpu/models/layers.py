@@ -273,7 +273,22 @@ class SplitConv3x3(nn.Module):
         dn = jax.lax.conv_dimension_numbers(a.shape, kernel.shape, spec)
         k = kernel.astype(a.dtype)
 
+        policy = _CONV_DISPATCH["policy"]
+        mode = (
+            policy(a.shape, self.features)
+            if policy is not None and self.dim == 2 and self.kernel_size == 3
+            else "xla"
+        )
+
         def cv(x, w):
+            if mode == "im2col":
+                from ..ops.im2col import conv3x3_im2col
+
+                return conv3x3_im2col(x, w)
+            if mode == "s2d4":
+                from ..ops.space_to_depth import conv3x3_via_s2d_4way
+
+                return conv3x3_via_s2d_4way(x, w)
             return jax.lax.conv_general_dilated(
                 x, w, (1,) * self.dim, "SAME", dimension_numbers=dn
             )

@@ -91,3 +91,22 @@ def test_full_model_exact_through_dispatch():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4
         )
+
+
+@pytest.mark.parametrize("mode", ["im2col", "s2d4"])
+def test_split_conv_dispatch_exact(mode):
+    """SplitConv3x3 under dispatch == joint nn.Conv on the concat."""
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+
+    layers.set_conv_dispatch(None)
+    joint = layers.conv3x3(5, name="conv")
+    x = jnp.concatenate([a, b], axis=-1)
+    params = joint.init(jax.random.key(0), x)["params"]
+    ref = joint.apply({"params": params}, x)
+
+    layers.set_conv_dispatch(lambda shape, out: mode)
+    split = layers.SplitConv3x3(5, name="conv")
+    got = split.apply({"params": params}, a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
