@@ -48,6 +48,12 @@ def main():
     compute_dtype = dtypes[dtype_name]
 
     config = _flagship_config()
+    # optional conv-lowering overrides (see layers.apply_dispatch_config);
+    # defaults stay whatever the flagship recipe pins
+    if os.environ.get("BENCH_CONV_DISPATCH"):
+        config.model.conv_dispatch = os.environ["BENCH_CONV_DISPATCH"]
+    if os.environ.get("BENCH_FUSED_TAIL"):
+        config.model.fused_tail = os.environ["BENCH_FUSED_TAIL"] == "1"
     module, params = init_model_shapes_only(config, jax.random.key(0))
     sde, eps = build_sde(config)
 

@@ -25,7 +25,15 @@ get_model = registry.models.get
 
 def create_model(config):
     """Instantiate the model module named by ``config.model.name``
-    (reference `models/utils.py:114-120`)."""
+    (reference `models/utils.py:114-120`).
+
+    Also applies the recipe's conv-lowering knobs
+    (``model.conv_dispatch`` / ``model.fused_tail`` — see
+    `layers.apply_dispatch_config`) so measured dispatch winners are
+    config-selectable in every mode."""
+    from .layers import apply_dispatch_config
+
+    apply_dispatch_config(config.model)
     cls = get_model(config.model.name)
     return cls.from_config(config)
 

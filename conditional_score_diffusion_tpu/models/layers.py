@@ -75,6 +75,141 @@ def default_tpu_conv_policy(x_shape, out_ch: int) -> str:
     return "xla"
 
 
+#: Shape-gated dispatch for the fused GroupNorm+SiLU+3x3-conv Pallas kernel
+#: (`ops/fused_block_pallas.py`) on the ``norm1 -> act -> dropout -> conv1``
+#: tail every resblock ends with.  ``None`` -> always the unfused XLA
+#: composition.  Otherwise ``policy(h_shape, out_ch) -> bool``.  The fused
+#: path is eval-only (dropout is identity, no VJP needed) and keeps the
+#: parameter tree identical to the unfused modules, so it is a pure
+#: lowering choice like ``_CONV_DISPATCH``.
+_FUSED_GN_DISPATCH: dict = {"policy": None}
+
+
+def set_fused_gn_conv_dispatch(policy: Optional[Callable]) -> None:
+    _FUSED_GN_DISPATCH["policy"] = policy
+
+
+def fused_tail_candidate_policy(h_shape, out_ch: int) -> bool:
+    """Candidate gate: the latency-bound low-resolution tail where the fused
+    kernel measured a win standalone (B16 20x20x288: 1.15x, BENCH_NOTES
+    round-2 lever 4).  Production default only where BENCH_NOTES records an
+    end-to-end win."""
+    B, H, W, C = h_shape
+    return H * W <= 400
+
+
+#: Named conv-lowering policies selectable from config
+#: (``config.model.conv_dispatch``).  Every entry is an exact-math rewrite;
+#: names are stable so recipes can pin a measured winner.
+NAMED_CONV_POLICIES: dict = {
+    "none": None,
+    "lowres_im2col": lambda s, o: "im2col" if s[1] * s[2] <= 400 else "xla",
+    "s2d_highres": lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
+    "tuned": lambda s, o: (
+        "im2col"
+        if s[1] * s[2] <= 400
+        else ("s2d4" if s[1] >= 80 and s[1] == s[2] else "xla")
+    ),
+}
+
+
+def apply_dispatch_config(model_config) -> None:
+    """Set the global lowering policies from optional config knobs.
+
+    ``model.conv_dispatch``: a :data:`NAMED_CONV_POLICIES` name (default
+    ``'none'``).  ``model.fused_tail``: bool, enables
+    :func:`fused_tail_candidate_policy` for the resblock tails (default
+    False).  Called by ``models.create_model`` so every entry mode (train /
+    test / multi_scale_test / bench) honors the recipe's choice.  The
+    policies are process-global trace-time state: with several models in one
+    process (multi-scale chains) the last created model's knobs win — all
+    policies are exact-math, so this can only affect speed, never results.
+    """
+    name = model_config.get("conv_dispatch", "none") if hasattr(model_config, "get") else "none"
+    set_conv_dispatch(NAMED_CONV_POLICIES[name])
+    fused = model_config.get("fused_tail", False) if hasattr(model_config, "get") else False
+    set_fused_gn_conv_dispatch(fused_tail_candidate_policy if fused else None)
+
+
+class _GNParamBank(nn.Module):
+    """Declares ``nn.GroupNorm``-compatible params (scale/bias over C)
+    without computing the norm — the fused kernel consumes them raw."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", jax.nn.initializers.ones, (self.ch,)),
+            self.param("bias", jax.nn.initializers.zeros, (self.ch,)),
+        )
+
+
+class _ConvParamBank(nn.Module):
+    """Declares ``conv3x3``-compatible params (kernel HWIO + bias)."""
+
+    in_ch: int
+    out_ch: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", default_init(self.init_scale), (3, 3, self.in_ch, self.out_ch)
+            ),
+            self.param("bias", jax.nn.initializers.zeros, (self.out_ch,)),
+        )
+
+
+def gn_act_conv_tail(
+    h,
+    out_ch: int,
+    num_groups: int,
+    act: Callable,
+    train: bool,
+    dropout_rate: float,
+    init_scale: float,
+    dim: int = 2,
+):
+    """The ``norm1 -> act -> dropout -> conv1`` tail shared by every resblock
+    (reference `models/layers.py:637-641`, `models/layerspp.py:181-183`).
+
+    When the fused dispatch policy enables it (eval only, SiLU only, 2D),
+    the whole tail lowers to one Pallas VMEM pass
+    (`ops/fused_block_pallas.gn_silu_conv3x3_nhwc`); otherwise the standard
+    XLA composition.  Both paths declare the identical parameter tree
+    (``norm1/{scale,bias}``, ``conv1/{kernel,bias}``), so checkpoints and
+    the two lowerings are interchangeable.
+    """
+    policy = _FUSED_GN_DISPATCH["policy"]
+    if (
+        policy is not None
+        and not train
+        and dim == 2
+        and act is jax.nn.silu
+        and policy(h.shape, out_ch)
+    ):
+        gamma, beta = _GNParamBank(h.shape[-1], name="norm1")()
+        kernel, cbias = _ConvParamBank(
+            h.shape[-1], out_ch, init_scale, name="conv1"
+        )()
+        from ..ops.fused_block_pallas import gn_silu_conv3x3_nhwc
+
+        return gn_silu_conv3x3_nhwc(
+            h,
+            kernel.astype(h.dtype),
+            gamma,
+            beta,
+            num_groups,
+            bias=cbias,
+            interpret=jax.default_backend() == "cpu",
+        )
+    h = act(nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, name="norm1")(h))
+    h = nn.Dropout(dropout_rate, deterministic=not train)(h)
+    return conv3x3(out_ch, init_scale=init_scale, dim=dim, name="conv1")(h)
+
+
 class DispatchConv3x3(nn.Module):
     """`nn.Conv`-param-compatible stride-1 SAME 3x3 conv whose lowering is
     chosen by the global dispatch policy.  Parameter layout (``kernel``
@@ -461,9 +596,10 @@ class ResnetBlockDDPM(nn.Module):
                 name="temb_proj",
             )(self.act(temb))
             h = h + temb_proj.reshape(temb_proj.shape[:1] + (1,) * self.dim + temb_proj.shape[1:])
-        h = self.act(legacy_group_norm(out_ch, name="norm1")(h))
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=0.0, dim=self.dim, name="conv1")(h)
+        h = gn_act_conv_tail(
+            h, out_ch, legacy_num_groups(out_ch), self.act, train,
+            self.dropout, init_scale=0.0, dim=self.dim,
+        )
         if in_ch != out_ch:
             if self.conv_shortcut:
                 if skip is not None:

@@ -31,6 +31,7 @@ from .layers import (
     conv3x3,
     default_init,
     default_num_groups,
+    gn_act_conv_tail,
     group_norm,
 )
 
@@ -178,9 +179,10 @@ class ResnetBlockDDPMpp(nn.Module):
                 name="temb_proj",
             )(self.act(temb))
             h = h + proj[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="norm1")(h))
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="conv1")(h)
+        h = gn_act_conv_tail(
+            h, out_ch, default_num_groups(out_ch), self.act, train,
+            self.dropout, init_scale=self.init_scale,
+        )
         if in_ch != out_ch:
             if self.conv_shortcut:
                 if skip is not None:
@@ -258,9 +260,10 @@ class ResnetBlockBigGANpp(nn.Module):
                 name="temb_proj",
             )(self.act(temb))
             h = h + proj[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="norm1")(h))
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="conv1")(h)
+        h = gn_act_conv_tail(
+            h, out_ch, default_num_groups(out_ch), self.act, train,
+            self.dropout, init_scale=self.init_scale,
+        )
 
         if in_ch != out_ch or self.up or self.down:
             if skip is not None:

@@ -26,12 +26,22 @@ from conditional_score_diffusion_tpu.models import layers  # noqa: E402
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 ONLY = set(sys.argv[2:])
 
+# name -> (conv lowering policy, fused GN+SiLU+conv tail policy)
 POLICIES = {
-    "xla": None,
-    "im2col20": lambda s, o: "im2col" if s[1] * s[2] <= 400 else "xla",
-    "s2d160": lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
-    "both": lambda s, o: (
-        "im2col" if s[1] * s[2] <= 400 else ("s2d4" if s[1] >= 80 and s[1] == s[2] else "xla")
+    "xla": (None, None),
+    "im2col20": (lambda s, o: "im2col" if s[1] * s[2] <= 400 else "xla", None),
+    "s2d160": (lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla", None),
+    "both": (
+        lambda s, o: (
+            "im2col" if s[1] * s[2] <= 400 else ("s2d4" if s[1] >= 80 and s[1] == s[2] else "xla")
+        ),
+        None,
+    ),
+    # fused Pallas tail on the 5x5-20x20 blocks (BENCH_NOTES round-2 lever 4)
+    "fused20": (None, lambda s, o: s[1] * s[2] <= 400),
+    "fused20+s2d": (
+        lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
+        lambda s, o: s[1] * s[2] <= 400,
     ),
 }
 
@@ -47,11 +57,16 @@ def main():
     t = jnp.full((B,), 100.0, jnp.bfloat16)
 
     results = {}
-    for name, policy in POLICIES.items():
+    for name, (policy, fused_policy) in POLICIES.items():
         if ONLY and name not in ONLY:
             continue
-        layers.set_conv_dispatch(policy)
+        # create the model FIRST: create_model applies the config's dispatch
+        # knobs (default none), which would clobber an earlier explicit set.
+        # The policy is read at trace time, so setting it before the jitted
+        # apply below is what matters.
         module, params = init_model_shapes_only(config, jax.random.key(0))
+        layers.set_conv_dispatch(policy)
+        layers.set_fused_gn_conv_dispatch(fused_policy)
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
         @jax.jit
@@ -77,6 +92,7 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
         finally:
             layers.set_conv_dispatch(None)
+            layers.set_fused_gn_conv_dispatch(None)
 
     if "xla" in results:
         base = results["xla"]

@@ -1,0 +1,139 @@
+"""Fused GN+SiLU+conv resblock-tail dispatch: exactness + checkpoint
+compatibility.
+
+The ``norm1 -> act -> dropout -> conv1`` tail of every resblock can lower to
+the Pallas fused kernel (`ops/fused_block_pallas.py`) under
+`layers.set_fused_gn_conv_dispatch`.  These tests pin that the fused path
+(interpret mode on CPU) matches the unfused XLA composition bit-for-bit
+within float tolerance and declares the identical parameter tree, so the
+policy is a pure lowering choice (reference behavior being fused:
+`models/layers.py:637-641`, `models/layerspp.py:181-183`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conditional_score_diffusion_tpu.models import layers, layerspp
+
+
+@pytest.fixture(autouse=True)
+def _reset_policy():
+    yield
+    layers.set_fused_gn_conv_dispatch(None)
+
+
+def _randomize(params, seed=1):
+    leaves, treedef = jax.tree.flatten(params)
+    rng = np.random.RandomState(seed)
+    leaves = [jnp.asarray(rng.randn(*leaf.shape).astype(np.float32) * 0.2) for leaf in leaves]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _blocks():
+    return {
+        "ddpm_legacy": layers.ResnetBlockDDPM(act=jax.nn.silu, out_ch=32, dropout=0.1),
+        "ddpmpp": layerspp.ResnetBlockDDPMpp(act=jax.nn.silu, out_ch=32, dropout=0.1),
+        "biggan": layerspp.ResnetBlockBigGANpp(act=jax.nn.silu, out_ch=32, dropout=0.1),
+    }
+
+
+@pytest.mark.parametrize("kind", ["ddpm_legacy", "ddpmpp", "biggan"])
+def test_fused_tail_matches_unfused(kind):
+    block = _blocks()[kind]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    temb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+
+    layers.set_fused_gn_conv_dispatch(None)
+    params = _randomize(block.init(jax.random.key(0), x, temb)["params"])
+    ref = block.apply({"params": params}, x, temb)
+
+    layers.set_fused_gn_conv_dispatch(lambda shape, out: True)
+    got = block.apply({"params": params}, x, temb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_param_tree_identical_under_policy():
+    block = _blocks()["ddpmpp"]
+    x = jnp.zeros((1, 6, 6, 32))
+    temb = jnp.zeros((1, 16))
+
+    layers.set_fused_gn_conv_dispatch(None)
+    off = jax.tree.map(lambda p: (p.shape, p.dtype), block.init(jax.random.key(0), x, temb))
+    layers.set_fused_gn_conv_dispatch(lambda shape, out: True)
+    on = jax.tree.map(lambda p: (p.shape, p.dtype), block.init(jax.random.key(0), x, temb))
+    assert jax.tree.structure(off) == jax.tree.structure(on)
+    assert jax.tree.leaves(off) == jax.tree.leaves(on)
+
+
+def test_train_mode_stays_unfused():
+    """Training must never hit the fused path (no VJP): with the policy on,
+    train=True still runs the XLA composition, so gradients flow."""
+    block = _blocks()["ddpmpp"]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    temb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+    params = _randomize(block.init(jax.random.key(0), x, temb)["params"])
+
+    layers.set_fused_gn_conv_dispatch(lambda shape, out: True)
+
+    def loss(p):
+        out = block.apply(
+            {"params": p}, x, temb, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in jax.tree.leaves(g))
+
+
+def test_policy_gates_by_shape():
+    """Only shapes the policy selects lower to the fused path; others run
+    unfused in the same model — mixed dispatch inside one apply."""
+    seen = []
+
+    def policy(shape, out):
+        seen.append(tuple(shape))
+        return False
+
+    block = _blocks()["ddpmpp"]
+    x = jnp.zeros((1, 6, 6, 32))
+    temb = jnp.zeros((1, 16))
+    layers.set_fused_gn_conv_dispatch(policy)
+    params = block.init(jax.random.key(0), x, temb)["params"]
+    block.apply({"params": params}, x, temb)
+    assert seen and all(s == (1, 6, 6, 32) for s in seen)
+
+
+def test_apply_dispatch_config_knobs():
+    """`model.conv_dispatch` / `model.fused_tail` config knobs set the
+    global policies (and default to off), so recipes can pin winners."""
+    import ml_collections
+
+    mc = ml_collections.ConfigDict()
+    layers.apply_dispatch_config(mc)
+    assert layers._CONV_DISPATCH["policy"] is None
+    assert layers._FUSED_GN_DISPATCH["policy"] is None
+
+    mc.conv_dispatch = "tuned"
+    mc.fused_tail = True
+    layers.apply_dispatch_config(mc)
+    assert layers._CONV_DISPATCH["policy"] is layers.NAMED_CONV_POLICIES["tuned"]
+    assert layers._FUSED_GN_DISPATCH["policy"] is layers.fused_tail_candidate_policy
+    layers.set_conv_dispatch(None)
+
+
+def test_non_silu_act_stays_unfused():
+    block = layerspp.ResnetBlockDDPMpp(act=jax.nn.relu, out_ch=32, dropout=0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+
+    layers.set_fused_gn_conv_dispatch(None)
+    params = _randomize(block.init(jax.random.key(0), x)["params"])
+    ref = block.apply({"params": params}, x)
+
+    layers.set_fused_gn_conv_dispatch(lambda shape, out: True)
+    got = block.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=0)
