@@ -43,6 +43,9 @@ POLICIES = {
         lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
         lambda s, o: s[1] * s[2] <= 400,
     ),
+    # fused tail at EVERY resolution (the kernel tiles H, so 160px is legal;
+    # measures whether one-VMEM-pass GN+SiLU+conv beats XLA's fusions there)
+    "fusedall": (None, lambda s, o: True),
 }
 
 
