@@ -157,7 +157,7 @@ def gn_silu_conv3x3_hmajor(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((B, Cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, Cin), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, Cin, Cout), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
