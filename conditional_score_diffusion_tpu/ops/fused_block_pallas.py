@@ -181,6 +181,206 @@ def gn_silu_conv3x3_hmajor(
     return out[..., :Cout0]
 
 
+def _group_matrices(C_pad: int, C_real: int, num_groups: int, n_spatial: int):
+    """Trace-time constants for in-kernel GroupNorm statistics.
+
+    ``mg`` (C_pad, G): x_sum @ mg gives per-(B, group) means (entries
+    1/(n_spatial*gs) for real channels, 0 for lane-padding).  ``mb``
+    (G, C_pad): broadcast per-group values back to per-channel (0 columns
+    for padding, so padded channels see mean=var=0 and stay exactly 0
+    through the activation).
+    """
+    G = num_groups
+    gs = C_real // G
+    mg = np.zeros((C_pad, G), np.float32)
+    mb = np.zeros((G, C_pad), np.float32)
+    for c in range(C_real):
+        g = c // gs
+        mg[c, g] = 1.0 / (n_spatial * gs)
+        mb[g, c] = 1.0
+    return jnp.asarray(mg), jnp.asarray(mb)
+
+
+def _resblock_kernel(
+    x_ref, g0_ref, b0_ref, mg0_ref, mb0_ref, w0_ref, bt_ref,
+    g1_ref, b1_ref, mg1_ref, mb1_ref, w1_ref, bias1_ref, ws_ref,
+    out_ref, *, H, W, Bc, Cin, Cout, shortcut, res_scale,
+):
+    """One whole resblock (eval) in a single VMEM pass; grid over B chunks.
+
+    GN statistics are computed in-kernel: spatial sums on the VPU, then the
+    group reduce/broadcast as two tiny MXU matmuls with the constant
+    matrices from `_group_matrices` — no lane-axis reshapes (the Mosaic
+    relayout hazard documented in `conv_pallas.py`).
+    """
+    f32 = jnp.float32
+    x = x_ref[...]  # (H+2, W+2, Bc, Cin), input dtype
+    xi = x[1 : H + 1, 1 : W + 1].astype(f32)  # interior
+
+    def gn_scale_shift(xin, mg, mb, gamma, beta):
+        s = jnp.sum(xin, axis=(0, 1))  # (Bc, C)
+        q = jnp.sum(xin * xin, axis=(0, 1))
+        mean_g = jnp.dot(s, mg, preferred_element_type=f32)  # (Bc, G)
+        msq_g = jnp.dot(q, mg, preferred_element_type=f32)
+        var_g = msq_g - mean_g * mean_g
+        mean_c = jnp.dot(mean_g, mb, preferred_element_type=f32)  # (Bc, C)
+        var_c = jnp.dot(var_g, mb, preferred_element_type=f32)
+        inv = jax.lax.rsqrt(var_c + 1e-6)
+        scale = inv * gamma
+        return scale, beta - mean_c * scale
+
+    def conv9(act_pad, w_ref_):
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                lhs = act_pad[dy : dy + H, dx : dx + W].reshape(H * W * Bc, -1)
+                term = jnp.dot(lhs, w_ref_[dy, dx], preferred_element_type=f32)
+                acc = term if acc is None else acc + term
+        return acc.reshape(H, W, Bc, -1)
+
+    # --- GN0 -> SiLU -> conv0 (+bias +temb) ---
+    scale0, shift0 = gn_scale_shift(xi, mg0_ref[...], mb0_ref[...], g0_ref[...], b0_ref[...])
+    a = xi * scale0 + shift0
+    a = a * jax.nn.sigmoid(a)
+    a_pad = jnp.zeros((H + 2, W + 2, Bc, Cin), w0_ref.dtype)
+    a_pad = a_pad.at[1 : H + 1, 1 : W + 1].set(a.astype(w0_ref.dtype))
+    h = conv9(a_pad, w0_ref) + bt_ref[...]  # (H, W, Bc, Cout) f32
+
+    # --- GN1 -> SiLU -> conv1 (+bias) ---
+    scale1, shift1 = gn_scale_shift(h, mg1_ref[...], mb1_ref[...], g1_ref[...], b1_ref[...])
+    a1 = h * scale1 + shift1
+    a1 = a1 * jax.nn.sigmoid(a1)
+    a1_pad = jnp.zeros((H + 2, W + 2, Bc, Cout), w1_ref.dtype)
+    a1_pad = a1_pad.at[1 : H + 1, 1 : W + 1].set(a1.astype(w1_ref.dtype))
+    h1 = conv9(a1_pad, w1_ref) + bias1_ref[...]
+
+    # --- shortcut + residual ---
+    if shortcut == "identity":
+        res = xi
+    else:  # channel-mix shortcut (NIN / 1x1 conv); bias folded into bias1
+        res = jnp.dot(
+            xi.reshape(H * W * Bc, Cin).astype(ws_ref.dtype),
+            ws_ref[...],
+            preferred_element_type=f32,
+        ).reshape(H, W, Bc, Cout)
+    out_ref[...] = ((res + h1) * res_scale).astype(out_ref.dtype)
+
+
+def resblock_fused_lowres(
+    x: jnp.ndarray,
+    *,
+    gamma0, beta0, num_groups0: int,
+    w0, b0, temb_proj,
+    gamma1, beta1, num_groups1: int,
+    w1, b1,
+    shortcut_w=None, shortcut_b=None,
+    skip_rescale: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """An ENTIRE eval resblock in one Pallas call (NHWC in/out).
+
+    Computes (reference `models/layers.py:631-674` / `layerspp.py:166-209`,
+    eval mode so dropout is identity):
+
+        h   = conv3x3(silu(GN0(x)), w0) + b0 + temb_proj[:, None, None]
+        h   = conv3x3(silu(GN1(h)), w1) + b1
+        out = shortcut(x) + h            # identity or channel-mix (+bias)
+        out *= 1/sqrt(2)                 # if skip_rescale
+
+    with both GroupNorm statistics computed inside the kernel, so HBM sees
+    one read of x and one write of out.  Intended for the latency-bound
+    5x5-20x20 tail where the whole block fits in VMEM; batch is chunked on
+    the grid (GN statistics are per-sample, so chunking is exact).
+
+    ``temb_proj``: (B, Cout) — the Dense(act(temb)) projection, computed in
+    XLA by the caller (it is a per-batch vector, negligible FLOPs).
+    ``shortcut_w``: (Cin, Cout) channel-mix matrix (NIN kernel or a
+    squeezed 1x1-conv kernel) or None for the identity shortcut.
+    """
+    B, H, W, Cin0 = x.shape
+    Cout0 = w0.shape[-1]
+    f32 = jnp.float32
+
+    Cin = _round_up(Cin0, 128) if not interpret else Cin0
+    Cout = _round_up(Cout0, 128) if not interpret else Cout0
+
+    def padc(v, c):  # pad a per-channel vector
+        return jnp.pad(v.astype(f32), (0, c - v.shape[0]))
+
+    xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, Cin0)
+    xt = jnp.pad(xt, ((1, 1), (1, 1), (0, 0), (0, Cin - Cin0)))
+    w0p = jnp.pad(w0, ((0, 0), (0, 0), (0, Cin - Cin0), (0, Cout - Cout0)))
+    w1p = jnp.pad(w1, ((0, 0), (0, 0), (0, Cout - Cout0), (0, Cout - Cout0)))
+
+    mg0, mb0 = _group_matrices(Cin, Cin0, num_groups0, H * W)
+    mg1, mb1 = _group_matrices(Cout, Cout0, num_groups1, H * W)
+
+    if temb_proj is None:
+        temb_proj = jnp.zeros((B, Cout0), f32)
+    bt = b0.astype(f32)[None, :] + temb_proj.astype(f32)  # (B, Cout0)
+    bt = jnp.pad(bt, ((0, 0), (0, Cout - Cout0)))
+    bias1 = b1.astype(f32)
+    if shortcut_w is None:
+        assert Cin0 == Cout0, "identity shortcut needs Cin == Cout"
+        shortcut = "identity"
+        wsp = jnp.zeros((Cin, Cout), w0p.dtype)  # unused placeholder
+    else:
+        shortcut = "mix"
+        wsp = jnp.pad(
+            shortcut_w, ((0, Cin - Cin0), (0, Cout - Cout0))
+        ).astype(w0p.dtype)
+        if shortcut_b is not None:
+            bias1 = bias1 + shortcut_b.astype(f32)
+    bias1 = jnp.pad(bias1, (0, Cout - Cout0))[None, :]  # (1, Cout)
+
+    # batch chunk: largest divisor of B fitting a ~10MB working set
+    per_b = (H + 2) * (W + 2) * (Cin + Cout) * (2 * x.dtype.itemsize + 4 + 4)
+    cap = max(1, (10 * 2**20) // max(1, per_b))
+    Bc = 1
+    for t in range(min(B, cap), 0, -1):
+        if B % t == 0:
+            Bc = t
+            break
+
+    kernel = functools.partial(
+        _resblock_kernel,
+        H=H, W=W, Bc=Bc, Cin=Cin, Cout=Cout,
+        shortcut=shortcut,
+        res_scale=float(1.0 / np.sqrt(2.0)) if skip_rescale else 1.0,
+    )
+    vec = lambda c: pl.BlockSpec((1, c), lambda b: (0, 0))  # noqa: E731
+    full = lambda *s: pl.BlockSpec(s, lambda b: tuple(0 for _ in s))  # noqa: E731
+    flops = 2 * 9 * H * W * B * (Cin + Cout) * Cout
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // Bc,),
+        in_specs=[
+            pl.BlockSpec((H + 2, W + 2, Bc, Cin), lambda b: (0, 0, b, 0)),
+            vec(Cin), vec(Cin), full(Cin, num_groups0), full(num_groups0, Cin),
+            full(3, 3, Cin, Cout),
+            pl.BlockSpec((Bc, Cout), lambda b: (b, 0)),
+            vec(Cout), vec(Cout), full(Cout, num_groups1), full(num_groups1, Cout),
+            full(3, 3, Cout, Cout), vec(Cout), full(Cin, Cout),
+        ],
+        out_specs=pl.BlockSpec((H, W, Bc, Cout), lambda b: (0, 0, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, W, B, Cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xt.size * xt.dtype.itemsize
+            + H * W * B * Cout * x.dtype.itemsize,
+            transcendentals=2 * H * W * B * (Cin + Cout),
+        ),
+        interpret=interpret,
+    )(
+        xt,
+        padc(gamma0, Cin)[None, :], padc(beta0, Cin)[None, :], mg0, mb0,
+        w0p, bt,
+        padc(gamma1, Cout)[None, :], padc(beta1, Cout)[None, :], mg1, mb1,
+        w1p, bias1, wsp,
+    )
+    return jnp.transpose(out[..., :Cout0], (2, 0, 1, 3))
+
+
 def gn_silu_conv3x3_nhwc(
     x: jnp.ndarray,
     w: jnp.ndarray,
