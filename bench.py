@@ -54,6 +54,8 @@ def main():
         config.model.conv_dispatch = os.environ["BENCH_CONV_DISPATCH"]
     if os.environ.get("BENCH_FUSED_TAIL"):
         config.model.fused_tail = os.environ["BENCH_FUSED_TAIL"] == "1"
+    if os.environ.get("BENCH_FUSED_BLOCK"):
+        config.model.fused_block = os.environ["BENCH_FUSED_BLOCK"] == "1"
     module, params = init_model_shapes_only(config, jax.random.key(0))
     sde, eps = build_sde(config)
 

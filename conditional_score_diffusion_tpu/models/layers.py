@@ -119,7 +119,9 @@ def apply_dispatch_config(model_config) -> None:
     ``model.conv_dispatch``: a :data:`NAMED_CONV_POLICIES` name (default
     ``'none'``).  ``model.fused_tail``: bool, enables
     :func:`fused_tail_candidate_policy` for the resblock tails (default
-    False).  Called by ``models.create_model`` so every entry mode (train /
+    False).  ``model.fused_block``: bool, same gate for the whole-resblock
+    kernel (wins over the tail where both apply).
+    Called by ``models.create_model`` so every entry mode (train /
     test / multi_scale_test / bench) honors the recipe's choice.  The
     policies are process-global trace-time state: with several models in one
     process (multi-scale chains) the last created model's knobs win — all
@@ -129,6 +131,8 @@ def apply_dispatch_config(model_config) -> None:
     set_conv_dispatch(NAMED_CONV_POLICIES[name])
     fused = model_config.get("fused_tail", False) if hasattr(model_config, "get") else False
     set_fused_gn_conv_dispatch(fused_tail_candidate_policy if fused else None)
+    fblock = model_config.get("fused_block", False) if hasattr(model_config, "get") else False
+    set_fused_block_dispatch(fused_tail_candidate_policy if fblock else None)
 
 
 class _GNParamBank(nn.Module):
@@ -160,6 +164,125 @@ class _ConvParamBank(nn.Module):
             ),
             self.param("bias", jax.nn.initializers.zeros, (self.out_ch,)),
         )
+
+
+#: Shape-gated dispatch for the WHOLE-resblock fused Pallas kernel
+#: (`ops/fused_block_pallas.resblock_fused_lowres`): eval-only, skip-free
+#: 2D SiLU blocks whose full body fits VMEM.  ``None`` -> never; otherwise
+#: ``policy(x_shape, out_ch) -> bool``.  Strictly stronger fusion than the
+#: tail dispatch: where both apply, the block dispatch wins.
+_FUSED_BLOCK_DISPATCH: dict = {"policy": None}
+
+
+def set_fused_block_dispatch(policy: Optional[Callable]) -> None:
+    _FUSED_BLOCK_DISPATCH["policy"] = policy
+
+
+class _DenseParamBank(nn.Module):
+    """Declares ``nn.Dense``-compatible params without computing it."""
+
+    in_dim: int
+    out_dim: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", default_init(self.init_scale), (self.in_dim, self.out_dim)),
+            self.param("bias", jax.nn.initializers.zeros, (self.out_dim,)),
+        )
+
+
+class _NINParamBank(nn.Module):
+    """Param layout of :class:`NIN` (shortcut/dense/{kernel,bias})."""
+
+    in_dim: int
+    out_dim: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParamBank(self.in_dim, self.out_dim, self.init_scale, name="dense")()
+
+
+class _Conv1x1ParamBank(nn.Module):
+    """Param layout of :func:`conv1x1` (kernel (1,1,C,out) + bias),
+    returned squeezed to a channel-mix matrix."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", default_init(1.0), (1, 1, self.in_ch, self.out_ch))
+        b = self.param("bias", jax.nn.initializers.zeros, (self.out_ch,))
+        return k.reshape(self.in_ch, self.out_ch), b
+
+
+def fused_resblock(
+    x,
+    temb,
+    *,
+    act: Callable,
+    out_ch: int,
+    groups_in: int,
+    groups_out: int,
+    conv1_init_scale: float,
+    skip_rescale: bool,
+    shortcut_kind: str,  # 'nin' | 'conv1x1'
+):
+    """Whole resblock as ONE Pallas call (see `resblock_fused_lowres`).
+
+    Declares the exact parameter tree of the unfused block
+    (norm0/conv0/temb_proj/norm1/conv1/shortcut), so checkpoints are
+    interchangeable; the temb projection stays in XLA (per-batch vector).
+    """
+    in_ch = x.shape[-1]
+    gamma0, beta0 = _GNParamBank(in_ch, name="norm0")()
+    w0, b0 = _ConvParamBank(in_ch, out_ch, 1.0, name="conv0")()
+    temb_proj = None
+    if temb is not None:
+        temb_proj = nn.Dense(
+            out_ch,
+            kernel_init=default_init(),
+            bias_init=jax.nn.initializers.zeros,
+            name="temb_proj",
+        )(act(temb))
+    gamma1, beta1 = _GNParamBank(out_ch, name="norm1")()
+    w1, b1 = _ConvParamBank(out_ch, out_ch, conv1_init_scale, name="conv1")()
+    ws = bs = None
+    if in_ch != out_ch:
+        if shortcut_kind == "nin":
+            ws, bs = _NINParamBank(in_ch, out_ch, name="shortcut")()
+        else:
+            ws, bs = _Conv1x1ParamBank(in_ch, out_ch, name="shortcut")()
+    from ..ops.fused_block_pallas import resblock_fused_lowres
+
+    dt = x.dtype
+    return resblock_fused_lowres(
+        x,
+        gamma0=gamma0, beta0=beta0, num_groups0=groups_in,
+        w0=w0.astype(dt), b0=b0, temb_proj=temb_proj,
+        gamma1=gamma1, beta1=beta1, num_groups1=groups_out,
+        w1=w1.astype(dt), b1=b1,
+        shortcut_w=None if ws is None else ws.astype(dt),
+        shortcut_b=bs,
+        skip_rescale=skip_rescale,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+def fused_block_applicable(x, temb, act, train, skip, dim, out_ch) -> bool:
+    """Static gate shared by the resblock call sites."""
+    policy = _FUSED_BLOCK_DISPATCH["policy"]
+    return (
+        policy is not None
+        and not train
+        and skip is None
+        and dim == 2
+        and act is jax.nn.silu
+        and policy(x.shape, out_ch)
+    )
 
 
 def gn_act_conv_tail(
@@ -580,6 +703,15 @@ class ResnetBlockDDPM(nn.Module):
             skip = None
         in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         out_ch = self.out_ch if self.out_ch is not None else in_ch
+        if fused_block_applicable(x, temb, self.act, train, skip, self.dim, out_ch) and (
+            in_ch == out_ch or not self.conv_shortcut
+        ):
+            return fused_resblock(
+                x, temb, act=self.act, out_ch=out_ch,
+                groups_in=legacy_num_groups(in_ch),
+                groups_out=legacy_num_groups(out_ch),
+                conv1_init_scale=0.0, skip_rescale=False, shortcut_kind="nin",
+            )
         if skip is None:
             h = self.act(legacy_group_norm(in_ch, name="norm0")(x))
             h = conv3x3(out_ch, dim=self.dim, name="conv0")(h)

@@ -31,6 +31,8 @@ from .layers import (
     conv3x3,
     default_init,
     default_num_groups,
+    fused_block_applicable,
+    fused_resblock,
     gn_act_conv_tail,
     group_norm,
 )
@@ -165,6 +167,16 @@ class ResnetBlockDDPMpp(nn.Module):
             skip = None
         in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         out_ch = self.out_ch if self.out_ch is not None else in_ch
+        if fused_block_applicable(x, temb, self.act, train, skip, 2, out_ch) and (
+            in_ch == out_ch or not self.conv_shortcut
+        ):
+            return fused_resblock(
+                x, temb, act=self.act, out_ch=out_ch,
+                groups_in=default_num_groups(in_ch),
+                groups_out=default_num_groups(out_ch),
+                conv1_init_scale=self.init_scale,
+                skip_rescale=self.skip_rescale, shortcut_kind="nin",
+            )
         if skip is None:
             h = self.act(group_norm(in_ch, name="norm0")(x))
             h = conv3x3(out_ch, name="conv0")(h)
@@ -227,6 +239,18 @@ class ResnetBlockBigGANpp(nn.Module):
             skip = None
         in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         out_ch = self.out_ch if self.out_ch is not None else in_ch
+        if (
+            not self.up
+            and not self.down
+            and fused_block_applicable(x, temb, self.act, train, skip, 2, out_ch)
+        ):
+            return fused_resblock(
+                x, temb, act=self.act, out_ch=out_ch,
+                groups_in=default_num_groups(in_ch),
+                groups_out=default_num_groups(out_ch),
+                conv1_init_scale=self.init_scale,
+                skip_rescale=self.skip_rescale, shortcut_kind="conv1x1",
+            )
         if skip is None:
             h = self.act(group_norm(in_ch, name="norm0")(x))
         else:

@@ -26,26 +26,29 @@ from conditional_score_diffusion_tpu.models import layers  # noqa: E402
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 ONLY = set(sys.argv[2:])
 
-# name -> (conv lowering policy, fused GN+SiLU+conv tail policy)
+_LOWRES = lambda s, o: s[1] * s[2] <= 400  # noqa: E731
+_S2D = lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla"  # noqa: E731
+
+# name -> (conv lowering policy, fused tail policy, fused whole-block policy)
 POLICIES = {
-    "xla": (None, None),
-    "im2col20": (lambda s, o: "im2col" if s[1] * s[2] <= 400 else "xla", None),
-    "s2d160": (lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla", None),
+    "xla": (None, None, None),
+    "im2col20": (lambda s, o: "im2col" if _LOWRES(s, o) else "xla", None, None),
+    "s2d160": (_S2D, None, None),
     "both": (
-        lambda s, o: (
-            "im2col" if s[1] * s[2] <= 400 else ("s2d4" if s[1] >= 80 and s[1] == s[2] else "xla")
-        ),
+        lambda s, o: ("im2col" if _LOWRES(s, o) else _S2D(s, o)),
+        None,
         None,
     ),
     # fused Pallas tail on the 5x5-20x20 blocks (BENCH_NOTES round-2 lever 4)
-    "fused20": (None, lambda s, o: s[1] * s[2] <= 400),
-    "fused20+s2d": (
-        lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
-        lambda s, o: s[1] * s[2] <= 400,
-    ),
+    "fused20": (None, _LOWRES, None),
+    "fused20+s2d": (_S2D, _LOWRES, None),
     # fused tail at EVERY resolution (the kernel tiles H, so 160px is legal;
     # measures whether one-VMEM-pass GN+SiLU+conv beats XLA's fusions there)
-    "fusedall": (None, lambda s, o: True),
+    "fusedall": (None, lambda s, o: True, None),
+    # WHOLE-resblock Pallas kernel on the low-res tail (encoder/mid blocks;
+    # decoder split-skip blocks still get the fused tail)
+    "fblock20": (None, _LOWRES, _LOWRES),
+    "fblock20+s2d": (_S2D, _LOWRES, _LOWRES),
 }
 
 
@@ -60,7 +63,7 @@ def main():
     t = jnp.full((B,), 100.0, jnp.bfloat16)
 
     results = {}
-    for name, (policy, fused_policy) in POLICIES.items():
+    for name, (policy, fused_policy, block_policy) in POLICIES.items():
         if ONLY and name not in ONLY:
             continue
         # create the model FIRST: create_model applies the config's dispatch
@@ -70,6 +73,7 @@ def main():
         module, params = init_model_shapes_only(config, jax.random.key(0))
         layers.set_conv_dispatch(policy)
         layers.set_fused_gn_conv_dispatch(fused_policy)
+        layers.set_fused_block_dispatch(block_policy)
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
         @jax.jit
@@ -96,6 +100,7 @@ def main():
         finally:
             layers.set_conv_dispatch(None)
             layers.set_fused_gn_conv_dispatch(None)
+            layers.set_fused_block_dispatch(None)
 
     if "xla" in results:
         base = results["xla"]

@@ -22,6 +22,7 @@ from conditional_score_diffusion_tpu.models import layers, layerspp
 def _reset_policy():
     yield
     layers.set_fused_gn_conv_dispatch(None)
+    layers.set_fused_block_dispatch(None)
 
 
 def _randomize(params, seed=1):
@@ -123,6 +124,77 @@ def test_apply_dispatch_config_knobs():
     assert layers._CONV_DISPATCH["policy"] is layers.NAMED_CONV_POLICIES["tuned"]
     assert layers._FUSED_GN_DISPATCH["policy"] is layers.fused_tail_candidate_policy
     layers.set_conv_dispatch(None)
+
+
+@pytest.mark.parametrize(
+    "kind,out_ch",
+    [
+        ("ddpm_legacy", 32),   # identity shortcut
+        ("ddpm_legacy", 48),   # NIN shortcut
+        ("ddpmpp", 32),
+        ("ddpmpp", 48),
+        ("biggan", 32),        # identity (skip_rescale=True default)
+        ("biggan", 48),        # conv1x1 shortcut
+    ],
+)
+def test_whole_block_fusion_matches_unfused(kind, out_ch):
+    """The whole-resblock kernel, wired through the module under
+    set_fused_block_dispatch, reproduces the unfused block with the SAME
+    parameters (checkpoint interchangeability at the module level)."""
+    block = {
+        "ddpm_legacy": layers.ResnetBlockDDPM(act=jax.nn.silu, out_ch=out_ch),
+        "ddpmpp": layerspp.ResnetBlockDDPMpp(act=jax.nn.silu, out_ch=out_ch),
+        "biggan": layerspp.ResnetBlockBigGANpp(act=jax.nn.silu, out_ch=out_ch),
+    }[kind]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    temb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+
+    layers.set_fused_block_dispatch(None)
+    params = _randomize(block.init(jax.random.key(0), x, temb)["params"])
+    ref = block.apply({"params": params}, x, temb)
+
+    layers.set_fused_block_dispatch(lambda shape, out: True)
+    got = block.apply({"params": params}, x, temb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_whole_block_param_tree_identical():
+    for out_ch in (32, 48):
+        block = layerspp.ResnetBlockDDPMpp(act=jax.nn.silu, out_ch=out_ch)
+        x = jnp.zeros((1, 6, 6, 32))
+        temb = jnp.zeros((1, 16))
+        layers.set_fused_block_dispatch(None)
+        off = jax.tree.map(lambda p: (p.shape, p.dtype), block.init(jax.random.key(0), x, temb))
+        layers.set_fused_block_dispatch(lambda shape, out: True)
+        on = jax.tree.map(lambda p: (p.shape, p.dtype), block.init(jax.random.key(0), x, temb))
+        assert jax.tree.structure(off) == jax.tree.structure(on)
+        assert jax.tree.leaves(off) == jax.tree.leaves(on)
+
+
+def test_whole_block_train_and_updown_stay_unfused():
+    """train=True and BigGAN up/down blocks never hit the kernel."""
+    layers.set_fused_block_dispatch(lambda shape, out: True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    temb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+
+    block = layerspp.ResnetBlockDDPMpp(act=jax.nn.silu, out_ch=32, dropout=0.0)
+    params = _randomize(block.init(jax.random.key(0), x, temb)["params"])
+
+    def loss(p):
+        out = block.apply(
+            {"params": p}, x, temb, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in jax.tree.leaves(g))
+
+    up = layerspp.ResnetBlockBigGANpp(act=jax.nn.silu, out_ch=32, up=True, fir=False)
+    p_up = up.init(jax.random.key(0), x, temb)["params"]
+    out = up.apply({"params": p_up}, x, temb)
+    assert out.shape == (2, 12, 12, 32)
 
 
 def test_non_silu_act_stays_unfused():
