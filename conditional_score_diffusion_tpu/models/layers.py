@@ -285,6 +285,67 @@ def fused_block_applicable(x, temb, act, train, skip, dim, out_ch) -> bool:
     )
 
 
+def fused_split_block_applicable(x, skip, act, train, dim, out_ch) -> bool:
+    """Same gate for the split-skip (virtual-concat decoder) blocks."""
+    policy = _FUSED_BLOCK_DISPATCH["policy"]
+    if policy is None or train or skip is None or dim != 2 or act is not jax.nn.silu:
+        return False
+    concat_shape = x.shape[:-1] + (x.shape[-1] + skip.shape[-1],)
+    return policy(concat_shape, out_ch)
+
+
+def fused_resblock_split(
+    x,
+    skip,
+    temb,
+    *,
+    act: Callable,
+    out_ch: int,
+    groups_in: int,
+    groups_out: int,
+    conv1_init_scale: float,
+    skip_rescale: bool,
+    shortcut_kind: str,  # 'nin' | 'conv1x1'
+):
+    """Split-skip whole-resblock fusion (see `resblock_fused_lowres_split`):
+    the decoder block on the virtual concat in one Pallas call.  Declares
+    the identical parameter tree to the SplitGroupNorm/SplitConv3x3/
+    SplitNIN path (all params are over the concat width)."""
+    cin = x.shape[-1] + skip.shape[-1]
+    gamma0, beta0 = _GNParamBank(cin, name="norm0")()
+    w0, b0 = _ConvParamBank(cin, out_ch, 1.0, name="conv0")()
+    temb_proj = None
+    if temb is not None:
+        temb_proj = nn.Dense(
+            out_ch,
+            kernel_init=default_init(),
+            bias_init=jax.nn.initializers.zeros,
+            name="temb_proj",
+        )(act(temb))
+    gamma1, beta1 = _GNParamBank(out_ch, name="norm1")()
+    w1, b1 = _ConvParamBank(out_ch, out_ch, conv1_init_scale, name="conv1")()
+    ws = bs = None
+    if cin != out_ch:
+        if shortcut_kind == "nin":
+            ws, bs = _NINParamBank(cin, out_ch, name="shortcut")()
+        else:
+            ws, bs = _Conv1x1ParamBank(cin, out_ch, name="shortcut")()
+    from ..ops.fused_block_pallas import resblock_fused_lowres_split
+
+    dt = x.dtype
+    return resblock_fused_lowres_split(
+        x, skip,
+        gamma0=gamma0, beta0=beta0, num_groups0=groups_in,
+        w0=w0.astype(dt), b0=b0, temb_proj=temb_proj,
+        gamma1=gamma1, beta1=beta1, num_groups1=groups_out,
+        w1=w1.astype(dt), b1=b1,
+        shortcut_w=None if ws is None else ws.astype(dt),
+        shortcut_b=bs,
+        skip_rescale=skip_rescale,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
 def gn_act_conv_tail(
     h,
     out_ch: int,
@@ -708,6 +769,17 @@ class ResnetBlockDDPM(nn.Module):
         ):
             return fused_resblock(
                 x, temb, act=self.act, out_ch=out_ch,
+                groups_in=legacy_num_groups(in_ch),
+                groups_out=legacy_num_groups(out_ch),
+                conv1_init_scale=0.0, skip_rescale=False, shortcut_kind="nin",
+            )
+        if (
+            self.dim == 2
+            and fused_split_block_applicable(x, skip, self.act, train, 2, out_ch)
+            and (in_ch == out_ch or not self.conv_shortcut)
+        ):
+            return fused_resblock_split(
+                x, skip, temb, act=self.act, out_ch=out_ch,
                 groups_in=legacy_num_groups(in_ch),
                 groups_out=legacy_num_groups(out_ch),
                 conv1_init_scale=0.0, skip_rescale=False, shortcut_kind="nin",

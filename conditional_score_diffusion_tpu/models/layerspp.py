@@ -33,6 +33,8 @@ from .layers import (
     default_num_groups,
     fused_block_applicable,
     fused_resblock,
+    fused_resblock_split,
+    fused_split_block_applicable,
     gn_act_conv_tail,
     group_norm,
 )
@@ -177,6 +179,16 @@ class ResnetBlockDDPMpp(nn.Module):
                 conv1_init_scale=self.init_scale,
                 skip_rescale=self.skip_rescale, shortcut_kind="nin",
             )
+        if fused_split_block_applicable(x, skip, self.act, train, 2, out_ch) and (
+            in_ch == out_ch or not self.conv_shortcut
+        ):
+            return fused_resblock_split(
+                x, skip, temb, act=self.act, out_ch=out_ch,
+                groups_in=default_num_groups(in_ch),
+                groups_out=default_num_groups(out_ch),
+                conv1_init_scale=self.init_scale,
+                skip_rescale=self.skip_rescale, shortcut_kind="nin",
+            )
         if skip is None:
             h = self.act(group_norm(in_ch, name="norm0")(x))
             h = conv3x3(out_ch, name="conv0")(h)
@@ -246,6 +258,18 @@ class ResnetBlockBigGANpp(nn.Module):
         ):
             return fused_resblock(
                 x, temb, act=self.act, out_ch=out_ch,
+                groups_in=default_num_groups(in_ch),
+                groups_out=default_num_groups(out_ch),
+                conv1_init_scale=self.init_scale,
+                skip_rescale=self.skip_rescale, shortcut_kind="conv1x1",
+            )
+        if (
+            not self.up
+            and not self.down
+            and fused_split_block_applicable(x, skip, self.act, train, 2, out_ch)
+        ):
+            return fused_resblock_split(
+                x, skip, temb, act=self.act, out_ch=out_ch,
                 groups_in=default_num_groups(in_ch),
                 groups_out=default_num_groups(out_ch),
                 conv1_init_scale=self.init_scale,

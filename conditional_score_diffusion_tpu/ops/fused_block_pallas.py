@@ -381,6 +381,215 @@ def resblock_fused_lowres(
     return jnp.transpose(out[..., :Cout0], (2, 0, 1, 3))
 
 
+def _resblock_split_kernel(
+    xa_ref, xb_ref,
+    gA_ref, bA_ref, gB_ref, bB_ref, mgA_ref, mgB_ref, mbA_ref, mbB_ref,
+    w0A_ref, w0B_ref, bt_ref,
+    g1_ref, b1_ref, mg1_ref, mb1_ref, w1_ref, bias1_ref,
+    wsA_ref, wsB_ref,
+    out_ref, *, H, W, Bc, Ca, Cb, Cout, res_scale,
+):
+    """Split-skip variant: the block runs on the VIRTUAL concat cat(x, skip)
+    without ever materializing it — GN0 statistics are assembled across the
+    concat boundary from per-half moments (exact even when a group straddles
+    it), conv0 and the shortcut distribute over the channel split as two
+    MXU accumulations.  The residual (identity or channel-mix) is always a
+    channel-mix matmul (identity passes constant identity blocks)."""
+    f32 = jnp.float32
+    xa = xa_ref[...]
+    xb = xb_ref[...]
+    ia = xa[1 : H + 1, 1 : W + 1].astype(f32)
+    ib = xb[1 : H + 1, 1 : W + 1].astype(f32)
+
+    # joint GN0 statistics over the virtual concat
+    sa = jnp.sum(ia, axis=(0, 1))
+    qa = jnp.sum(ia * ia, axis=(0, 1))
+    sb = jnp.sum(ib, axis=(0, 1))
+    qb = jnp.sum(ib * ib, axis=(0, 1))
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)  # noqa: E731
+    mean_g = dot(sa, mgA_ref[...]) + dot(sb, mgB_ref[...])  # (Bc, G)
+    msq_g = dot(qa, mgA_ref[...]) + dot(qb, mgB_ref[...])
+    var_g = msq_g - mean_g * mean_g
+
+    def half_act(xi, x_pad_shape, mb, gamma, beta, wdtype):
+        mean_c = dot(mean_g, mb)
+        var_c = dot(var_g, mb)
+        inv = jax.lax.rsqrt(var_c + 1e-6)
+        scale = inv * gamma
+        shift = beta - mean_c * scale
+        a = xi * scale + shift
+        a = a * jax.nn.sigmoid(a)
+        pad = jnp.zeros(x_pad_shape, wdtype)
+        return pad.at[1 : H + 1, 1 : W + 1].set(a.astype(wdtype))
+
+    def conv9(act_pad, w_ref_):
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                lhs = act_pad[dy : dy + H, dx : dx + W].reshape(H * W * Bc, -1)
+                term = dot(lhs, w_ref_[dy, dx])
+                acc = term if acc is None else acc + term
+        return acc.reshape(H, W, Bc, -1)
+
+    aA = half_act(ia, (H + 2, W + 2, Bc, Ca), mbA_ref[...], gA_ref[...], bA_ref[...], w0A_ref.dtype)
+    aB = half_act(ib, (H + 2, W + 2, Bc, Cb), mbB_ref[...], gB_ref[...], bB_ref[...], w0B_ref.dtype)
+    h = conv9(aA, w0A_ref) + conv9(aB, w0B_ref) + bt_ref[...]
+
+    # GN1 -> SiLU -> conv1 (joint tensor now)
+    s1 = jnp.sum(h, axis=(0, 1))
+    q1 = jnp.sum(h * h, axis=(0, 1))
+    mean1_g = dot(s1, mg1_ref[...])
+    msq1_g = dot(q1, mg1_ref[...])
+    var1_g = msq1_g - mean1_g * mean1_g
+    mean1_c = dot(mean1_g, mb1_ref[...])
+    var1_c = dot(var1_g, mb1_ref[...])
+    inv1 = jax.lax.rsqrt(var1_c + 1e-6)
+    scale1 = inv1 * g1_ref[...]
+    shift1 = b1_ref[...] - mean1_c * scale1
+    a1 = h * scale1 + shift1
+    a1 = a1 * jax.nn.sigmoid(a1)
+    a1_pad = jnp.zeros((H + 2, W + 2, Bc, Cout), w1_ref.dtype)
+    a1_pad = a1_pad.at[1 : H + 1, 1 : W + 1].set(a1.astype(w1_ref.dtype))
+    h1 = conv9(a1_pad, w1_ref) + bias1_ref[...]
+
+    res = (
+        dot(ia.reshape(H * W * Bc, Ca).astype(wsA_ref.dtype), wsA_ref[...])
+        + dot(ib.reshape(H * W * Bc, Cb).astype(wsB_ref.dtype), wsB_ref[...])
+    ).reshape(H, W, Bc, Cout)
+    out_ref[...] = ((res + h1) * res_scale).astype(out_ref.dtype)
+
+
+def resblock_fused_lowres_split(
+    x: jnp.ndarray,
+    skip: jnp.ndarray,
+    *,
+    gamma0, beta0, num_groups0: int,
+    w0, b0, temb_proj,
+    gamma1, beta1, num_groups1: int,
+    w1, b1,
+    shortcut_w=None, shortcut_b=None,
+    skip_rescale: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Split-skip whole-resblock fusion (NHWC in/out): the decoder block on
+    cat(x, skip) with the concat virtual even inside VMEM.
+
+    ``gamma0``/``beta0``/``w0``/``shortcut_w`` are over the CONCAT width
+    (identical layout to the unfused SplitGroupNorm/SplitConv3x3/SplitNIN
+    parameters, reference `models/layers.py:631-674` decoder usage).
+    ``shortcut_w=None`` means the identity residual over the concat
+    (requires Ca+Cb == Cout), lowered as constant identity-block matmuls.
+    """
+    B, H, W, Ca0 = x.shape
+    Cb0 = skip.shape[-1]
+    Cin0 = Ca0 + Cb0
+    Cout0 = w0.shape[-1]
+    f32 = jnp.float32
+
+    Ca = _round_up(Ca0, 128) if not interpret else Ca0
+    Cb = _round_up(Cb0, 128) if not interpret else Cb0
+    Cout = _round_up(Cout0, 128) if not interpret else Cout0
+
+    def prep(v):  # NHWC -> padded (H+2, W+2, B, Cpad)
+        t = jnp.transpose(v, (1, 2, 0, 3))
+        cpad = (Ca if v is x else Cb) - v.shape[-1]
+        return jnp.pad(t, ((1, 1), (1, 1), (0, 0), (0, cpad)))
+
+    xat, xbt = prep(x), prep(skip)
+
+    # group matrices over the CONCAT channel layout, split at the boundary
+    G0 = num_groups0
+    gs0 = Cin0 // G0
+    mgA = np.zeros((Ca, G0), np.float32)
+    mgB = np.zeros((Cb, G0), np.float32)
+    mbA = np.zeros((G0, Ca), np.float32)
+    mbB = np.zeros((G0, Cb), np.float32)
+    for c in range(Cin0):
+        g = c // gs0
+        if c < Ca0:
+            mgA[c, g] = 1.0 / (H * W * gs0)
+            mbA[g, c] = 1.0
+        else:
+            mgB[c - Ca0, g] = 1.0 / (H * W * gs0)
+            mbB[g, c - Ca0] = 1.0
+    mg1, mb1 = _group_matrices(Cout, Cout0, num_groups1, H * W)
+
+    def padc(v, c):
+        return jnp.pad(v.astype(f32), (0, c - v.shape[0]))
+
+    gA = padc(gamma0[:Ca0], Ca)[None, :]
+    bA = padc(beta0[:Ca0], Ca)[None, :]
+    gB = padc(gamma0[Ca0:], Cb)[None, :]
+    bB = padc(beta0[Ca0:], Cb)[None, :]
+    w0A = jnp.pad(w0[:, :, :Ca0], ((0, 0), (0, 0), (0, Ca - Ca0), (0, Cout - Cout0)))
+    w0B = jnp.pad(w0[:, :, Ca0:], ((0, 0), (0, 0), (0, Cb - Cb0), (0, Cout - Cout0)))
+    w1p = jnp.pad(w1, ((0, 0), (0, 0), (0, Cout - Cout0), (0, Cout - Cout0)))
+
+    if temb_proj is None:
+        temb_proj = jnp.zeros((B, Cout0), f32)
+    bt = b0.astype(f32)[None, :] + temb_proj.astype(f32)
+    bt = jnp.pad(bt, ((0, 0), (0, Cout - Cout0)))
+    bias1 = b1.astype(f32)
+    if shortcut_w is None:
+        assert Cin0 == Cout0, "identity residual needs Ca+Cb == Cout"
+        ws = np.zeros((Cin0, Cout0), np.float32)
+        ws[np.arange(Cin0), np.arange(Cin0)] = 1.0
+        shortcut_w = jnp.asarray(ws)
+    elif shortcut_b is not None:
+        bias1 = bias1 + shortcut_b.astype(f32)
+    wsA = jnp.pad(shortcut_w[:Ca0], ((0, Ca - Ca0), (0, Cout - Cout0))).astype(w0A.dtype)
+    wsB = jnp.pad(shortcut_w[Ca0:], ((0, Cb - Cb0), (0, Cout - Cout0))).astype(w0B.dtype)
+    bias1 = jnp.pad(bias1, (0, Cout - Cout0))[None, :]
+
+    per_b = (H + 2) * (W + 2) * (Ca + Cb + Cout) * (2 * x.dtype.itemsize + 4 + 4)
+    cap = max(1, (10 * 2**20) // max(1, per_b))
+    Bc = 1
+    for t in range(min(B, cap), 0, -1):
+        if B % t == 0:
+            Bc = t
+            break
+
+    kernel = functools.partial(
+        _resblock_split_kernel,
+        H=H, W=W, Bc=Bc, Ca=Ca, Cb=Cb, Cout=Cout,
+        res_scale=float(1.0 / np.sqrt(2.0)) if skip_rescale else 1.0,
+    )
+    vec = lambda c: pl.BlockSpec((1, c), lambda b: (0, 0))  # noqa: E731
+    full = lambda *s: pl.BlockSpec(s, lambda b: tuple(0 for _ in s))  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // Bc,),
+        in_specs=[
+            pl.BlockSpec((H + 2, W + 2, Bc, Ca), lambda b: (0, 0, b, 0)),
+            pl.BlockSpec((H + 2, W + 2, Bc, Cb), lambda b: (0, 0, b, 0)),
+            vec(Ca), vec(Ca), vec(Cb), vec(Cb),
+            full(Ca, G0), full(Cb, G0), full(G0, Ca), full(G0, Cb),
+            full(3, 3, Ca, Cout), full(3, 3, Cb, Cout),
+            pl.BlockSpec((Bc, Cout), lambda b: (b, 0)),
+            vec(Cout), vec(Cout), full(Cout, num_groups1), full(num_groups1, Cout),
+            full(3, 3, Cout, Cout), vec(Cout),
+            full(Ca, Cout), full(Cb, Cout),
+        ],
+        out_specs=pl.BlockSpec((H, W, Bc, Cout), lambda b: (0, 0, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, W, B, Cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * H * W * B * (Ca + Cb + Cout) * Cout,
+            bytes_accessed=(xat.size + xbt.size) * x.dtype.itemsize
+            + H * W * B * Cout * x.dtype.itemsize,
+            transcendentals=2 * H * W * B * (Ca + Cb + Cout),
+        ),
+        interpret=interpret,
+    )(
+        xat, xbt,
+        gA, bA, gB, bB,
+        jnp.asarray(mgA), jnp.asarray(mgB), jnp.asarray(mbA), jnp.asarray(mbB),
+        w0A, w0B, bt,
+        padc(gamma1, Cout)[None, :], padc(beta1, Cout)[None, :], mg1, mb1,
+        w1p, bias1, wsA, wsB,
+    )
+    return jnp.transpose(out[..., :Cout0], (2, 0, 1, 3))
+
+
 def gn_silu_conv3x3_nhwc(
     x: jnp.ndarray,
     w: jnp.ndarray,

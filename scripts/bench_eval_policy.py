@@ -45,8 +45,8 @@ POLICIES = {
     # fused tail at EVERY resolution (the kernel tiles H, so 160px is legal;
     # measures whether one-VMEM-pass GN+SiLU+conv beats XLA's fusions there)
     "fusedall": (None, lambda s, o: True, None),
-    # WHOLE-resblock Pallas kernel on the low-res tail (encoder/mid blocks;
-    # decoder split-skip blocks still get the fused tail)
+    # WHOLE-resblock Pallas kernel on the low-res tail (encoder/mid joint
+    # blocks AND decoder split-skip blocks via the split variant)
     "fblock20": (None, _LOWRES, _LOWRES),
     "fblock20+s2d": (_S2D, _LOWRES, _LOWRES),
 }

@@ -159,6 +159,39 @@ def test_whole_block_fusion_matches_unfused(kind, out_ch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize(
+    "kind,out_ch",
+    [
+        ("ddpm_legacy", 64),   # identity residual over the concat (32+32)
+        ("ddpm_legacy", 48),   # SplitNIN shortcut
+        ("ddpmpp", 64),
+        ("ddpmpp", 48),
+        ("biggan", 64),
+        ("biggan", 48),        # split conv1x1 shortcut
+    ],
+)
+def test_split_block_fusion_matches_unfused(kind, out_ch):
+    """Decoder split-skip blocks lower to the split whole-block kernel and
+    reproduce the unfused virtual-concat path with the SAME parameters."""
+    block = {
+        "ddpm_legacy": layers.ResnetBlockDDPM(act=jax.nn.silu, out_ch=out_ch, split_skip=True),
+        "ddpmpp": layerspp.ResnetBlockDDPMpp(act=jax.nn.silu, out_ch=out_ch, split_skip=True),
+        "biggan": layerspp.ResnetBlockBigGANpp(act=jax.nn.silu, out_ch=out_ch, split_skip=True),
+    }[kind]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    skip = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    temb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+
+    layers.set_fused_block_dispatch(None)
+    params = _randomize(block.init(jax.random.key(0), x, temb, skip=skip)["params"])
+    ref = block.apply({"params": params}, x, temb, skip=skip)
+
+    layers.set_fused_block_dispatch(lambda shape, out: True)
+    got = block.apply({"params": params}, x, temb, skip=skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
 def test_whole_block_param_tree_identical():
     for out_ch in (32, 48):
         block = layerspp.ResnetBlockDDPMpp(act=jax.nn.silu, out_ch=out_ch)

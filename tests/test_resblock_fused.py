@@ -110,6 +110,41 @@ def test_resblock_fused_no_temb():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "ca,cb,cout,g0,skip_rescale",
+    [
+        (8, 8, 16, 4, False),    # identity residual over the concat
+        (8, 8, 24, 4, True),     # channel-mix shortcut + rescale
+        (6, 10, 16, 4, False),   # groups straddle the concat boundary
+    ],
+)
+def test_resblock_fused_split_matches_reference(ca, cb, cout, g0, skip_rescale):
+    """Split-skip variant == concat-then-block, with the concat virtual."""
+    from conditional_score_diffusion_tpu.ops.fused_block_pallas import (
+        resblock_fused_lowres_split,
+    )
+
+    cin = ca + cb
+    rng = np.random.RandomState(3)
+    xa = jnp.asarray(rng.randn(4, 6, 6, ca).astype(np.float32))
+    xb = jnp.asarray(rng.randn(4, 6, 6, cb).astype(np.float32))
+    p = _params(rng, cin, cout, with_shortcut=cin != cout)
+
+    ref = _reference(jnp.concatenate([xa, xb], -1), p, g0, 4, skip_rescale)
+    got = resblock_fused_lowres_split(
+        xa, xb,
+        gamma0=p["gamma0"], beta0=p["beta0"], num_groups0=g0,
+        w0=p["w0"], b0=p["b0"], temb_proj=p["temb_proj"],
+        gamma1=p["gamma1"], beta1=p["beta1"], num_groups1=4,
+        w1=p["w1"], b1=p["b1"],
+        shortcut_w=p["ws"], shortcut_b=p["bs"],
+        skip_rescale=skip_rescale,
+        interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_batch_chunking_exact():
     """GN statistics are per-sample, so any batch chunk size must give the
     same answer; force tiny chunks by shrinking the VMEM budget heuristic
