@@ -98,6 +98,18 @@ def fused_tail_candidate_policy(h_shape, out_ch: int) -> bool:
     return H * W <= 400
 
 
+def fused_block_candidate_policy(h_shape, out_ch: int) -> bool:
+    """Candidate gate for the WHOLE-block kernel: 10x10 and smaller.
+
+    VMEM accounting at ~16 MB/core: the block working set (padded input +
+    two activation buffers + f32 conv accumulator + both weight tensors)
+    fits comfortably at 10x10/5x5 with C<=384 (~13 MB worst case) but
+    overflows at 20x20 with C>=192 once sublane padding is counted — the
+    20x20 level keeps the single-conv tail kernel instead."""
+    B, H, W, C = h_shape
+    return H * W <= 128
+
+
 #: Named conv-lowering policies selectable from config
 #: (``config.model.conv_dispatch``).  Every entry is an exact-math rewrite;
 #: names are stable so recipes can pin a measured winner.
@@ -132,7 +144,7 @@ def apply_dispatch_config(model_config) -> None:
     fused = model_config.get("fused_tail", False) if hasattr(model_config, "get") else False
     set_fused_gn_conv_dispatch(fused_tail_candidate_policy if fused else None)
     fblock = model_config.get("fused_block", False) if hasattr(model_config, "get") else False
-    set_fused_block_dispatch(fused_tail_candidate_policy if fblock else None)
+    set_fused_block_dispatch(fused_block_candidate_policy if fblock else None)
 
 
 class _GNParamBank(nn.Module):

@@ -45,10 +45,13 @@ POLICIES = {
     # fused tail at EVERY resolution (the kernel tiles H, so 160px is legal;
     # measures whether one-VMEM-pass GN+SiLU+conv beats XLA's fusions there)
     "fusedall": (None, lambda s, o: True, None),
-    # WHOLE-resblock Pallas kernel on the low-res tail (encoder/mid joint
-    # blocks AND decoder split-skip blocks via the split variant)
+    # WHOLE-resblock Pallas kernel (encoder/mid joint blocks AND decoder
+    # split-skip blocks via the split variant).  fblock10 = VMEM-safe gate
+    # (10x10 and below, 20x20 keeps the fused tail); fblock20 stresses the
+    # 20x20 level too (expected to OOM VMEM — measure to confirm).
+    "fblock10": (None, _LOWRES, lambda s, o: s[1] * s[2] <= 128),
+    "fblock10+s2d": (_S2D, _LOWRES, lambda s, o: s[1] * s[2] <= 128),
     "fblock20": (None, _LOWRES, _LOWRES),
-    "fblock20+s2d": (_S2D, _LOWRES, _LOWRES),
 }
 
 
