@@ -12,21 +12,55 @@ assumed 312 TFLOP/s-peak A100 running the eager fp32/TF32 reference at 25%
 MFU — generous for unfused eager PyTorch.  The estimate is printed alongside
 so the judge can recompute with a different MFU.
 
+Resilience: the tunneled TPU backend has wedged mid-round twice
+(BENCH_r03.json rc=1 with ``Unable to initialize backend 'axon'``), and JAX
+caches a failed backend init for the life of the process — so retries MUST
+happen in fresh subprocesses.  This file is therefore two programs in one:
+
+* orchestrator (default): re-execs itself with ``BENCH_INNER=1``, retrying
+  with backoff on backend-init/UNAVAILABLE failures and per-attempt hang
+  timeouts; on final failure it still prints ONE structured JSON line with
+  an explicit ``"error"`` field and the last-known-good value from prior
+  ``BENCH_r*.json`` files, and exits 0 so the driver records data.
+* inner (``BENCH_INNER=1``): the actual measurement.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 """
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+METRIC = "celebA160_SR_CMDE_pc1000_sampling"
+UNIT = "images/sec/chip"
+
+# Error signatures that mean "the backend is sick, not the code" — retryable.
+_RETRYABLE = re.compile(
+    r"UNAVAILABLE|Unable to initialize backend|DEADLINE_EXCEEDED"
+    r"|backend setup/compile error|Socket closed|Connection reset"
+    r"|failed to connect|ABORTED: ",
+    re.IGNORECASE,
+)
 
 
-def main():
+def _run_bench():
+    if os.environ.get("BENCH_SIMULATE") == "unavailable":
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "TPU backend setup/compile error (simulated for resilience test)"
+        )
+    if os.environ.get("BENCH_SIMULATE") == "hang":
+        time.sleep(3600)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from conditional_score_diffusion_tpu.models import init_model_shapes_only
     from conditional_score_diffusion_tpu.models.wrappers import (
         get_conditional_score_fn,
@@ -141,14 +175,139 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "celebA160_SR_CMDE_pc1000_sampling",
+                "metric": METRIC,
                 "value": round(imgs_per_sec, 5),
-                "unit": "images/sec/chip",
+                "unit": UNIT,
                 "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
             }
         )
     )
 
 
+def _last_known_good():
+    """Scan prior BENCH_r*.json driver records for the newest valid value."""
+    best = None
+    for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if isinstance(parsed.get("value"), (int, float)):
+                best = {
+                    "round": rec.get("n"),
+                    "value": parsed["value"],
+                    "vs_baseline": parsed.get("vs_baseline"),
+                    "source": os.path.basename(path),
+                }
+        except Exception:
+            continue
+    return best
+
+
+def _probe_backend(timeout):
+    """Cheap liveness check in a fresh subprocess: the wedged-tunnel failure
+    mode is a HANG at backend init, so probing with a bare ``jax.devices()``
+    bounds the cost of a dead backend to ``timeout`` seconds instead of a
+    full bench attempt."""
+    try:
+        # The axon sitecustomize can override JAX_PLATFORMS at interpreter
+        # startup, so re-assert the requested platform via jax.config (the
+        # same trick tests/conftest.py uses).
+        probe_src = (
+            "import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "print(jax.devices())\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", probe_src],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe hung (> {timeout:.0f}s)"
+    if proc.returncode != 0:
+        tail = (proc.stderr.strip().splitlines() or ["no output"])[-1]
+        return False, f"backend probe rc={proc.returncode}: {tail}"
+    return True, proc.stdout.strip()
+
+
+def _orchestrate():
+    attempts = int(os.environ.get("BENCH_RETRY_ATTEMPTS", "4"))
+    backoff = float(os.environ.get("BENCH_RETRY_BACKOFF", "60"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2400"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+
+    env = dict(os.environ, BENCH_INNER="1")
+    last_err = ""
+    for i in range(attempts):
+        ok, info = _probe_backend(probe_timeout)
+        if not ok:
+            last_err = f"attempt {i + 1}: {info}"
+            print(f"# {last_err}", file=sys.stderr)
+            if i < attempts - 1:
+                sleep = backoff * (2**i)
+                print(f"# backing off {sleep:.0f}s before retry {i + 2}/{attempts}", file=sys.stderr)
+                time.sleep(sleep)
+            continue
+        print(f"# backend probe ok: {info}", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1} hung (> {attempt_timeout:.0f}s) and was killed"
+            print(f"# {last_err}", file=sys.stderr)
+        else:
+            sys.stderr.write(proc.stderr)
+            if proc.returncode == 0:
+                sys.stdout.write(proc.stdout)
+                return 0
+            combined = proc.stderr + proc.stdout
+            tail = combined.strip().splitlines()[-1] if combined.strip() else "no output"
+            last_err = f"attempt {i + 1} rc={proc.returncode}: {tail}"
+            if not _RETRYABLE.search(combined):
+                # A genuine code failure — don't mask it behind retries.
+                print(f"# non-retryable failure: {tail}", file=sys.stderr)
+                break
+            print(f"# retryable backend failure: {tail}", file=sys.stderr)
+        if i < attempts - 1:
+            sleep = backoff * (2**i)
+            print(f"# backing off {sleep:.0f}s before retry {i + 2}/{attempts}", file=sys.stderr)
+            time.sleep(sleep)
+
+    # All attempts failed: still emit ONE structured JSON line (rc=0) so the
+    # driver records the failure mode and the last-known-good number instead
+    # of an unparseable rc=1 (the round-3 failure mode, BENCH_r03.json).
+    lkg = _last_known_good()
+    if lkg:
+        print(
+            f"# last-known-good: {lkg['value']} {UNIT} "
+            f"(vs_baseline {lkg['vs_baseline']}) from {lkg['source']}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": UNIT,
+                "vs_baseline": None,
+                "error": last_err[:500],
+                "last_known_good": lkg,
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1":
+        _run_bench()
+    else:
+        sys.exit(_orchestrate())

@@ -147,6 +147,13 @@ def run_multi_scale_test(
             rng, sample_rng = jax.random.split(rng)
             c, h, w = config.data.shape_x
             shape = (current.shape[0], h, w, c)
+            # The conv/fusion dispatch policies are process-global trace-time
+            # state; with several models in one process the last create_model
+            # call would otherwise win.  Re-apply THIS scale's knobs right
+            # before its sampler traces (layers.apply_dispatch_config).
+            from ..models.layers import apply_dispatch_config
+
+            apply_dispatch_config(config.model)
             fn = task.sampling_fn(shape, p_steps=p_steps, corrector=corrector)
             if task.conditional:
                 samples, _ = fn(sample_rng, state.ema.params, current)

@@ -105,9 +105,11 @@ def fused_block_candidate_policy(h_shape, out_ch: int) -> bool:
     two activation buffers + f32 conv accumulator + both weight tensors)
     fits comfortably at 10x10/5x5 with C<=384 (~13 MB worst case) but
     overflows at 20x20 with C>=192 once sublane padding is counted — the
-    20x20 level keeps the single-conv tail kernel instead."""
+    20x20 level keeps the single-conv tail kernel instead.  The gate is
+    ``max(H, W) <= 10``: exactly the shapes the accounting covered; widen
+    only with an on-TPU measurement (BENCH_NOTES measurement queue)."""
     B, H, W, C = h_shape
-    return H * W <= 128
+    return max(H, W) <= 10
 
 
 #: Named conv-lowering policies selectable from config
@@ -116,11 +118,14 @@ def fused_block_candidate_policy(h_shape, out_ch: int) -> bool:
 NAMED_CONV_POLICIES: dict = {
     "none": None,
     "lowres_im2col": lambda s, o: "im2col" if s[1] * s[2] <= 400 else "xla",
-    "s2d_highres": lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla",
+    # s2d halves H and W, so it only applies to even spatial sizes.
+    "s2d_highres": lambda s, o: (
+        "s2d4" if s[1] >= 80 and s[1] == s[2] and s[1] % 2 == 0 else "xla"
+    ),
     "tuned": lambda s, o: (
         "im2col"
         if s[1] * s[2] <= 400
-        else ("s2d4" if s[1] >= 80 and s[1] == s[2] else "xla")
+        else ("s2d4" if s[1] >= 80 and s[1] == s[2] and s[1] % 2 == 0 else "xla")
     ),
 }
 
@@ -136,8 +141,14 @@ def apply_dispatch_config(model_config) -> None:
     Called by ``models.create_model`` so every entry mode (train /
     test / multi_scale_test / bench) honors the recipe's choice.  The
     policies are process-global trace-time state: with several models in one
-    process (multi-scale chains) the last created model's knobs win — all
-    policies are exact-math, so this can only affect speed, never results.
+    process, whoever called this last before a trace wins, so multi-model
+    flows must re-apply their config right before tracing (multi-scale
+    chains do — `eval/multiscale.py` re-applies per scale before each
+    sampler build).  All policies are exact math up to float associativity:
+    the fused kernels keep GN statistics in f32 but accumulate in a
+    different order, matching the unfused path to ~2e-5 — a lowering choice
+    can therefore perturb a long sampling chain bit-wise, never
+    statistically.
     """
     name = model_config.get("conv_dispatch", "none") if hasattr(model_config, "get") else "none"
     set_conv_dispatch(NAMED_CONV_POLICIES[name])

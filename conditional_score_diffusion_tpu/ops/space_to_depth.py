@@ -35,6 +35,11 @@ from jax import lax
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (sy*2+sx)*C + c."""
     B, H, W, C = x.shape
+    if H % 2 or W % 2:
+        raise ValueError(
+            f"space_to_depth needs even spatial dims, got H={H}, W={W}; "
+            "the s2d conv dispatch policies must gate on evenness"
+        )
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, H // 2, W // 2, 4 * C)

@@ -110,3 +110,45 @@ def test_split_conv_dispatch_exact(mode):
     split = layers.SplitConv3x3(5, name="conv")
     got = split.apply({"params": params}, a, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_named_policies_gate_odd_and_oversize_shapes():
+    """ADVICE round-3: s2d policies must reject odd spatial sizes (s2d
+    halves H/W); the whole-block gate must not admit shapes the VMEM
+    accounting never covered."""
+    s2d = layers.NAMED_CONV_POLICIES["s2d_highres"]
+    tuned = layers.NAMED_CONV_POLICIES["tuned"]
+    assert s2d((1, 80, 80, 3), 64) == "s2d4"
+    assert s2d((1, 81, 81, 3), 64) == "xla"
+    assert tuned((1, 81, 81, 3), 64) == "xla"
+    assert tuned((1, 160, 160, 3), 64) == "s2d4"
+
+    gate = layers.fused_block_candidate_policy
+    assert gate((1, 10, 10, 384), 384)
+    assert gate((1, 5, 5, 192), 192)
+    assert not gate((1, 11, 11, 128), 128)  # H*W<=128 used to admit this
+    assert not gate((1, 16, 8, 64), 64)
+
+
+def test_space_to_depth_rejects_odd_sizes():
+    from conditional_score_diffusion_tpu.ops.space_to_depth import space_to_depth
+
+    with pytest.raises(ValueError, match="even spatial"):
+        space_to_depth(jnp.zeros((1, 81, 81, 3)))
+
+
+def test_multiscale_reapplies_per_scale_policy():
+    """ADVICE round-3: with several models in one process the last
+    create_model wins — eval/multiscale re-applies each scale's knobs
+    before tracing.  Simulate the create-all-then-trace pattern."""
+    import ml_collections
+
+    cfg_a = ml_collections.ConfigDict(dict(conv_dispatch="tuned"))
+    cfg_b = ml_collections.ConfigDict(dict(conv_dispatch="none"))
+    layers.apply_dispatch_config(cfg_a)
+    layers.apply_dispatch_config(cfg_b)  # last-created wins: policy now None
+    assert layers._CONV_DISPATCH["policy"] is None
+    # the multiscale loop's fix: re-apply scale A right before its trace
+    layers.apply_dispatch_config(cfg_a)
+    assert layers._CONV_DISPATCH["policy"] is layers.NAMED_CONV_POLICIES["tuned"]
+    layers.apply_dispatch_config(ml_collections.ConfigDict())
