@@ -314,8 +314,35 @@ def main():
     train, ev, test = build_data()
     print(f"train {train[0].shape}, eval {ev[0].shape}, test {test[0].shape}", flush=True)
 
-    jx = run_jax(train, ev, test, steps, log_every)
+    # torch first (3x faster per step on this host), and flush partial
+    # results after each framework so a crash/round-end keeps what finished.
+    os.makedirs(args.out, exist_ok=True)
+    partial_path = os.path.join(args.out, "cmde_results_partial.json")
+
+    def _partial(name, r):
+        rec = {
+            "steps": steps,
+            name: {
+                "final_eval_loss": r[1][-1][1],
+                "train_seconds": r[2],
+                "sample_seconds": r[3],
+                "metrics": _metrics(r[0], test[0]),
+                "curve": r[1],
+            },
+        }
+        prev = {}
+        if os.path.exists(partial_path):
+            with open(partial_path) as f:
+                prev = json.load(f)
+        prev.update(rec)
+        with open(partial_path, "w") as f:
+            json.dump(prev, f, indent=2)
+        print(f"[partial] {name}: {rec[name]['metrics']}", flush=True)
+
     th = run_torch(train, ev, test, steps, log_every)
+    _partial("torch", th)
+    jx = run_jax(train, ev, test, steps, log_every)
+    _partial("jax", jx)
 
     results = {
         "hyperparameters": {k: (list(v) if isinstance(v, tuple) else v) for k, v in HP.items()},
