@@ -23,11 +23,23 @@ sys.path.insert(0, ".")
 from conditional_score_diffusion_tpu.models import init_model_shapes_only  # noqa: E402
 from conditional_score_diffusion_tpu.models import layers  # noqa: E402
 
+import os  # noqa: E402
+
+# the axon sitecustomize can override JAX_PLATFORMS at interpreter startup;
+# re-assert it so `JAX_PLATFORMS=cpu` smoke runs don't touch the TPU tunnel
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 ONLY = set(sys.argv[2:])
+# smoke mode for pre-flighting the script itself without a TPU:
+#   BENCH_POLICY_SIZE=40 BENCH_POLICY_B=2 python scripts/bench_eval_policy.py 2
+SIZE = int(os.environ.get("BENCH_POLICY_SIZE", "160"))
+BATCH = int(os.environ.get("BENCH_POLICY_B", "16"))
 
 _LOWRES = lambda s, o: s[1] * s[2] <= 400  # noqa: E731
-_S2D = lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] else "xla"  # noqa: E731
+_S2D = lambda s, o: "s2d4" if s[1] >= 80 and s[1] == s[2] and s[1] % 2 == 0 else "xla"  # noqa: E731
+_FBLOCK = None  # filled in main (the canonical VMEM-safe gate from layers)
 
 # name -> (conv lowering policy, fused tail policy, fused whole-block policy)
 POLICIES = {
@@ -46,11 +58,12 @@ POLICIES = {
     # measures whether one-VMEM-pass GN+SiLU+conv beats XLA's fusions there)
     "fusedall": (None, lambda s, o: True, None),
     # WHOLE-resblock Pallas kernel (encoder/mid joint blocks AND decoder
-    # split-skip blocks via the split variant).  fblock10 = VMEM-safe gate
-    # (10x10 and below, 20x20 keeps the fused tail); fblock20 stresses the
-    # 20x20 level too (expected to OOM VMEM — measure to confirm).
-    "fblock10": (None, _LOWRES, lambda s, o: s[1] * s[2] <= 128),
-    "fblock10+s2d": (_S2D, _LOWRES, lambda s, o: s[1] * s[2] <= 128),
+    # split-skip blocks via the split variant).  fblock10 = the canonical
+    # VMEM-safe gate (layers.fused_block_candidate_policy: max(H,W)<=10;
+    # 20x20 keeps the fused tail); fblock20 stresses the 20x20 level too
+    # (expected to OOM VMEM — measure to confirm graceful failure).
+    "fblock10": (None, _LOWRES, "canonical"),
+    "fblock10+s2d": (_S2D, _LOWRES, "canonical"),
     "fblock20": (None, _LOWRES, _LOWRES),
 }
 
@@ -58,11 +71,11 @@ POLICIES = {
 def main():
     from __graft_entry__ import _flagship_config
 
-    config = _flagship_config()
-    B = 16
+    config = _flagship_config(image_size=SIZE)
+    B = BATCH
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(B, 160, 160, 3).astype(np.float32), jnp.bfloat16)
-    y = jnp.asarray(rng.rand(B, 160, 160, 3).astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.rand(B, SIZE, SIZE, 3).astype(np.float32), jnp.bfloat16)
+    y = jnp.asarray(rng.rand(B, SIZE, SIZE, 3).astype(np.float32), jnp.bfloat16)
     t = jnp.full((B,), 100.0, jnp.bfloat16)
 
     results = {}
@@ -74,6 +87,8 @@ def main():
         # The policy is read at trace time, so setting it before the jitted
         # apply below is what matters.
         module, params = init_model_shapes_only(config, jax.random.key(0))
+        if block_policy == "canonical":
+            block_policy = layers.fused_block_candidate_policy
         layers.set_conv_dispatch(policy)
         layers.set_fused_gn_conv_dispatch(fused_policy)
         layers.set_fused_block_dispatch(block_policy)
