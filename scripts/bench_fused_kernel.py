@@ -7,6 +7,7 @@ overhead on the tunneled backend is ~25-30 ms, so per-op timing must chain).
 Usage: python scripts/bench_fused_kernel.py [K]
 """
 
+import os
 import sys
 import time
 
@@ -16,12 +17,18 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# the axon sitecustomize can override JAX_PLATFORMS at interpreter startup;
+# re-assert it so JAX_PLATFORMS=cpu smoke runs don't touch the TPU tunnel
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from conditional_score_diffusion_tpu.ops.fused_block_pallas import (  # noqa: E402
     gn_silu_conv3x3_hmajor,
     gn_silu_conv3x3_reference,
 )
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+INTERP = jax.default_backend() == "cpu"  # Pallas interpret mode off-TPU
 
 
 def bench(fn, *args, k=K):
@@ -31,6 +38,8 @@ def bench(fn, *args, k=K):
     t1 = time.perf_counter()
     return (t1 - t0) / k, out
 
+
+SMOKE = os.environ.get("BENCH_FUSED_SMOKE") == "1"
 
 # (B, H, W, C) classes from the flagship celebA-160 CMDE network (nf=96)
 SHAPES = [
@@ -42,6 +51,8 @@ SHAPES = [
     (16, 160, 160, 96),
     (16, 20, 20, 288),
 ]
+if SMOKE:
+    SHAPES = [(2, 10, 10, 64)]
 
 for B, H, W, C in SHAPES:
     for dtype in (jnp.bfloat16,):
@@ -57,7 +68,7 @@ for B, H, W, C in SHAPES:
         @jax.jit
         def fused_chain(xt, w):
             def body(h, _):
-                h = gn_silu_conv3x3_hmajor(h, w, gamma, beta, groups, bias=bias, temb=temb)
+                h = gn_silu_conv3x3_hmajor(h, w, gamma, beta, groups, bias=bias, temb=temb, interpret=INTERP)
                 return h, None
             h, _ = jax.lax.scan(body, xt, None, length=K)
             return h
@@ -95,3 +106,85 @@ for B, H, W, C in SHAPES:
             f"speedup {t_xla/t_fused:.2f}x | maxerr {err:.2e}",
             flush=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# WHOLE-resblock kernel per-shape grid (VERDICT round-3 item 7): confirm the
+# analytic VMEM gate (layers.fused_block_candidate_policy, max(H,W)<=10)
+# empirically, including that the 20x20 shapes fail gracefully rather than
+# faulting the chip.  Identity shortcut, skip_rescale, eval semantics.
+# ---------------------------------------------------------------------------
+from conditional_score_diffusion_tpu.ops.fused_block_pallas import (  # noqa: E402
+    gn_silu_conv3x3_reference,
+    resblock_fused_lowres,
+)
+
+print("\n== whole-resblock kernel grid ==", flush=True)
+BLOCK_SHAPES = [
+    (B, H, H, C)
+    for B in (8, 16)
+    for H in (5, 10, 20)
+    for C in (192, 288, 384)
+]
+if SMOKE:
+    BLOCK_SHAPES = [(2, 5, 5, 64), (2, 10, 10, 64)]
+
+for B, H, W, C in BLOCK_SHAPES:
+    rng = np.random.RandomState(0)
+    dtype = jnp.bfloat16
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.5, dtype)
+    w0 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05, dtype)
+    w1 = jnp.asarray(rng.randn(3, 3, C, C).astype(np.float32) * 0.05, dtype)
+    b0 = jnp.zeros((C,), jnp.float32)
+    b1 = jnp.zeros((C,), jnp.float32)
+    gamma0 = jnp.ones((C,), jnp.float32)
+    beta0 = jnp.zeros((C,), jnp.float32)
+    gamma1 = jnp.ones((C,), jnp.float32)
+    beta1 = jnp.zeros((C,), jnp.float32)
+    temb = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    groups = min(C // 4, 32)
+
+    @jax.jit
+    def fused_chain(x):
+        def body(h, _):
+            h = resblock_fused_lowres(
+                h,
+                gamma0=gamma0, beta0=beta0, num_groups0=groups,
+                w0=w0, b0=b0, temb_proj=temb,
+                gamma1=gamma1, beta1=beta1, num_groups1=groups,
+                w1=w1, b1=b1,
+                skip_rescale=True, interpret=INTERP,
+            )
+            return h, None
+        h, _ = jax.lax.scan(body, x, None, length=K)
+        return h
+
+    @jax.jit
+    def xla_chain(x):
+        def body(h, _):
+            t = gn_silu_conv3x3_reference(h, w0, gamma0, beta0, groups, bias=b0, temb=temb)
+            t = gn_silu_conv3x3_reference(t.astype(h.dtype), w1, gamma1, beta1, groups, bias=b1)
+            out = (h.astype(jnp.float32) + t) / np.sqrt(2.0)
+            return out.astype(h.dtype), None
+        h, _ = jax.lax.scan(body, x, None, length=K)
+        return h
+
+    flops = 2 * 9 * H * W * B * (2 * C) * C
+    try:
+        t_fused, out_f = bench(fused_chain, x)
+    except Exception as e:  # noqa: BLE001
+        print(f"B{B} {H}x{W}x{C}: FUSED FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+        t_fused, out_f = float("nan"), None
+    t_xla, out_x = bench(xla_chain, x)
+    err = (
+        float(jnp.max(jnp.abs(out_f.astype(jnp.float32) - out_x.astype(jnp.float32))))
+        if out_f is not None
+        else float("nan")
+    )
+    gate = "IN-GATE" if max(H, W) <= 10 else "beyond-gate"
+    print(
+        f"B{B} {H}x{W}x{C} [{gate}]: fused {t_fused*1e3:.3f} ms ({flops/t_fused/1e12:.1f} TF/s) | "
+        f"xla {t_xla*1e3:.3f} ms ({flops/t_xla/1e12:.1f} TF/s) | "
+        f"speedup {t_xla/t_fused:.2f}x | maxerr {err:.2e}",
+        flush=True,
+    )
