@@ -6,10 +6,19 @@ Reference: `main.py:8-29` — the same absl + ml_collections flag surface:
         [--checkpoint_path ...] [--log_path ...]
 """
 
+import os
+
+import jax
 from absl import app, flags
 from ml_collections.config_flags import config_flags
 
 import run_lib
+
+# A PJRT plugin sitecustomize may override JAX_PLATFORMS at interpreter
+# startup; re-assert the user's explicit choice (no-op when unset) so e.g.
+# `JAX_PLATFORMS=cpu python main.py ...` really runs on CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 FLAGS = flags.FLAGS
 
