@@ -143,7 +143,17 @@ class Trainer:
                     self.log_scalar("sigma_min_y", float(smin), step + 1)
                 dt = time.time() - t_last
                 t_last = time.time()
-                print(f"step {step + 1}: loss={loss:.5f} ({dt:.1f}s)", flush=True)
+                # sustained window throughput (first window includes compile)
+                n_window = log_freq if step != start else 1
+                ms_step = dt / n_window * 1e3
+                imgs_s = config.training.batch_size * n_window / dt
+                self.log_scalar("ms_per_step", ms_step, step + 1)
+                self.log_scalar("train_imgs_per_sec", imgs_s, step + 1)
+                print(
+                    f"step {step + 1}: loss={loss:.5f} ({dt:.1f}s, "
+                    f"{ms_step:.1f} ms/step, {imgs_s:.1f} img/s)",
+                    flush=True,
+                )
 
             if (step + 1) % eval_freq == 0:
                 eval_loss = self.run_eval(jax.random.fold_in(rng, step))
