@@ -85,6 +85,13 @@ def test_multi_scale_haar_chain(tmp_path):
     assert glob.glob(
         os.path.join(str(tmp_path / "logs"), "autoregressive_samples", "events.*")
     )
+    # chain metrics are recorded (PSNR/SSIM of final scale vs GT)
+    import json
+
+    with open(os.path.join(str(tmp_path / "logs"), "multi_scale", "metrics.json")) as f:
+        m = json.load(f)
+    assert m["per_batch"] and np.isfinite(m["mean_psnr"]) and np.isfinite(m["mean_ssim"])
+    assert -1.0 <= m["mean_ssim"] <= 1.0
 
 
 def test_rescale_and_concatenate_pyramid_shapes():
