@@ -120,10 +120,13 @@ from conditional_score_diffusion_tpu.ops.fused_block_pallas import (  # noqa: E4
 )
 
 print("\n== whole-resblock kernel grid ==", flush=True)
+# In-gate shapes first, ALL beyond-gate (20x20, expected VMEM overflow) last:
+# if the overflow faults the chip fatally instead of raising, the in-gate
+# measurements have already printed.
 BLOCK_SHAPES = [
     (B, H, H, C)
-    for B in (8, 16)
     for H in (5, 10, 20)
+    for B in (8, 16)
     for C in (192, 288, 384)
 ]
 if SMOKE:
