@@ -4,6 +4,12 @@
 # one-core machine aren't distorted by host CPU contention.  Resumes the
 # job on exit no matter how the wrapped command ends.
 #
+# The pid file may point at a shell wrapper whose python child lives in a
+# DIFFERENT process group (`timeout` setpgid's itself), so signalling the
+# recorded pid alone leaves the actual CPU hog running.  We therefore walk
+# the full descendant tree and signal every pid, parent-first for STOP (so
+# no new children appear mid-walk) and in the same order for CONT.
+#
 # Usage: scripts/with_h2h_paused.sh <command> [args...]
 set -u
 H2H_PID=""
@@ -14,15 +20,37 @@ if [[ -f /tmp/h2h.pid ]]; then
   fi
 fi
 
+# Echo pid and all its live descendants, parent before child (BFS).
+descendants() {
+  local queue=("$1")
+  while ((${#queue[@]})); do
+    local pid="${queue[0]}"
+    queue=("${queue[@]:1}")
+    echo "$pid"
+    local kids
+    kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
+    for k in $kids; do queue+=("$k"); done
+  done
+}
+
+signal_tree() {
+  local sig="$1" root="$2" p
+  for p in $(descendants "$root"); do
+    kill -"$sig" "$p" 2>/dev/null
+  done
+}
+
 resume() {
   if [[ -n "$H2H_PID" ]]; then
-    kill -CONT "$H2H_PID" 2>/dev/null && echo "[with_h2h_paused] resumed $H2H_PID" >&2
+    signal_tree CONT "$H2H_PID"
+    echo "[with_h2h_paused] resumed tree of $H2H_PID" >&2
   fi
 }
 trap resume EXIT INT TERM
 
 if [[ -n "$H2H_PID" ]]; then
-  kill -STOP "$H2H_PID" 2>/dev/null && echo "[with_h2h_paused] paused $H2H_PID" >&2
+  signal_tree STOP "$H2H_PID"
+  echo "[with_h2h_paused] paused tree of $H2H_PID" >&2
 fi
 
 "$@"
