@@ -11,3 +11,11 @@ set -x
 mkdir -p artifacts/r4_measurements
 timeout 5400 python scripts/bench_eval_policy.py 20 2>&1 | tee artifacts/r4_measurements/eval_policy.log
 timeout 4500 python scripts/bench_fused_kernel.py 50 2>&1 | tee artifacts/r4_measurements/fused_kernel_grid.log
+
+# Hedge steps: useful TPU output even if the operator session dies before it
+# can analyze the ladder.  (1) a headline bench.py run under the current
+# production-default policy, (2) a bounded, resumable flagship-shape training
+# kickoff (VERDICT round-3 item 3) — the long pole, needs no judgment call.
+timeout 1800 python bench.py 2>&1 | tee artifacts/r4_measurements/bench_default.log
+FLAGSHIP_TIMEOUT=${QUEUE_FLAGSHIP_TIMEOUT:-10800} \
+  bash scripts/tpu_flagship_train.sh 2>&1 | tee /tmp/flagship160.log
