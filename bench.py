@@ -241,6 +241,10 @@ def _orchestrate():
 
     env = dict(os.environ, BENCH_INNER="1")
     last_err = ""
+    # "backend" = outage-style (probe failure / hang / retryable rc!=0);
+    # "code" = a non-retryable failure in the bench path itself.  Emitted
+    # in the error JSON so drivers can tell a regression from an outage.
+    error_kind = "backend"
     for i in range(attempts):
         ok, info = _probe_backend(probe_timeout)
         if not ok:
@@ -273,6 +277,7 @@ def _orchestrate():
             last_err = f"attempt {i + 1} rc={proc.returncode}: {tail}"
             if not _RETRYABLE.search(combined):
                 # A genuine code failure — don't mask it behind retries.
+                error_kind = "code"
                 print(f"# non-retryable failure: {tail}", file=sys.stderr)
                 break
             print(f"# retryable backend failure: {tail}", file=sys.stderr)
@@ -299,6 +304,8 @@ def _orchestrate():
                 "unit": UNIT,
                 "vs_baseline": None,
                 "error": last_err[:500],
+                "error_kind": error_kind,
+                "retryable": error_kind == "backend",
                 "last_known_good": lkg,
             }
         )

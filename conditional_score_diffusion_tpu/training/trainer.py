@@ -114,6 +114,12 @@ class Trainer:
         train_iter = PrefetchIterator(self.datamodule.train_iterator(), depth=2)
         history = {"train_loss": [], "eval_loss": []}
         t_last = time.time()
+        # sustained-throughput window anchor: the step the current timing
+        # window started at.  Windows span only uninterrupted train steps —
+        # the anchor is re-set after eval/snapshot/callback boundaries so
+        # ms_per_step / train_imgs_per_sec never absorb host-side work, and
+        # n_window is exact even when a resume step isn't log_freq-aligned.
+        window_step = int(self.state.step)
 
         # SURVEY.md §5: the reference has no tracing; here a device trace can
         # be captured around training steps via CSDT_PROFILE_DIR.
@@ -144,17 +150,23 @@ class Trainer:
                 dt = time.time() - t_last
                 t_last = time.time()
                 # sustained window throughput (first window includes compile)
-                n_window = log_freq if step != start else 1
+                n_window = max(step + 1 - window_step, 1)
+                window_step = step + 1
                 ms_step = dt / n_window * 1e3
                 imgs_s = config.training.batch_size * n_window / dt
                 self.log_scalar("ms_per_step", ms_step, step + 1)
                 self.log_scalar("train_imgs_per_sec", imgs_s, step + 1)
+                # the exact step count behind this window, so sustained
+                # numbers are auditable (ADVICE r4: unaligned resumes used
+                # to overstate img/s by assuming a full log_freq window)
+                self.log_scalar("window_steps", n_window, step + 1)
                 print(
                     f"step {step + 1}: loss={loss:.5f} ({dt:.1f}s, "
                     f"{ms_step:.1f} ms/step, {imgs_s:.1f} img/s)",
                     flush=True,
                 )
 
+            t_host0 = time.time()
             if (step + 1) % eval_freq == 0:
                 eval_loss = self.run_eval(jax.random.fold_in(rng, step))
                 history["eval_loss"].append((step + 1, eval_loss))
@@ -177,6 +189,12 @@ class Trainer:
                                     self.callback_failures[name], step + 1)
                     if self.writer is not None:
                         self.writer.add_text(f"callback_errors/{name}", msg, step + 1)
+
+            # eval/snapshot/callback time must not leak into the next
+            # sustained-throughput window: re-anchor if host work was real.
+            if time.time() - t_host0 > 0.05:
+                t_last = time.time()
+                window_step = step + 1
 
         self.ckpt.wait()
         return history

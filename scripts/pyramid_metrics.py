@@ -82,7 +82,16 @@ def main():
                 gt = np.asarray(gt_batch["x"])
         else:
             gt = np.asarray(gt_batch)
-        n = min(len(finals), len(gt))
+        # A batch-size or shuffle difference vs the original multi_scale_test
+        # run would silently pair finals with the wrong GT images — fail loud.
+        if len(gt) != len(finals):
+            raise SystemExit(
+                f"batch {batch_idx}: rebuilt GT batch has {len(gt)} images but "
+                f"{len(finals)} final PNGs were saved — the datamodule's batch "
+                "size/order no longer matches the original run; refusing to "
+                "compute misaligned metrics."
+            )
+        n = len(finals)
         gt = np.clip(gt[:n].astype(np.float32), 0.0, 1.0)
         m = {
             "batch": batch_idx,

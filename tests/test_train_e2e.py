@@ -124,3 +124,36 @@ def test_val_cap_and_callback_failure_surfacing():
     # eval ran 3 times; the cap allows at most max_val_batches+1 pulls each
     assert len(pulled) <= 3 * (config.eval.max_val_batches + 1), len(pulled)
     assert trainer.callback_failures.get("FailingCallback") == 3
+
+
+def test_sustained_window_counts_steps_after_unaligned_resume():
+    """ADVICE r4 (medium): the sustained-throughput window must count the
+    actual steps since the last log, not assume a full log_freq window —
+    an unaligned resume (e.g. restart at step 7 with log_freq 5) used to
+    overstate img/s by log_freq / (boundary - resume_step)."""
+    config = get_config()
+    config.training.n_iters = 15
+    config.training.log_freq = 5
+    config.training.eval_freq = 10_000  # no eval inside this run
+    config.training.snapshot_freq = 10_000
+    config.data.data_samples = 4000
+
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(config, tmp)
+        # simulate a resume at an unaligned step
+        trainer.state = trainer.state.replace(step=7)
+        windows = {}
+        orig_log = trainer.log_scalar
+
+        def recording_log(tag, value, step):
+            if tag == "window_steps":
+                windows[step] = value
+            return orig_log(tag, value, step)
+
+        trainer.log_scalar = recording_log
+        trainer.fit(callbacks=[])
+
+    # start=7: first log at step 8 (step == start) covers 1 step;
+    # boundary log at step 10 covers 10-8=2 steps (NOT log_freq=5);
+    # then a full window at step 15 covers 5 steps.
+    assert windows == {8: 1, 10: 2, 15: 5}, windows
