@@ -10,7 +10,9 @@ simply *is* `jax.nn.initializers.variance_scaling`.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -130,6 +132,48 @@ NAMED_CONV_POLICIES: dict = {
 }
 
 
+#: cache of loaded measured-policy files, keyed by path (tests point
+#: CSDT_POLICY_FILE at several temp files within one process)
+_MEASURED_POLICY_CACHE: dict = {}
+
+
+def measured_policy_default() -> Optional[dict]:
+    """The measured production lowering default, if one has been recorded.
+
+    `scripts/bench_eval_policy.py` writes ``artifacts/measured_policy.json``
+    after the on-TPU policy ladder; its winning row then becomes the
+    production default for every recipe that does not set
+    ``model.conv_dispatch`` / ``fused_tail`` / ``fused_block`` explicitly.
+    This makes "flip the measured winner to the production default" a data
+    change the measurement queue performs automatically, not a code edit.
+
+    ``CSDT_MEASURED_POLICY=0`` disables the fallback (the test suite pins
+    it off so parity tests always exercise the paths their explicit knobs
+    name); ``CSDT_POLICY_FILE`` overrides the file location.  Invalid or
+    missing files silently fall back to the built-in defaults — a stale or
+    corrupt measurement must never break training.
+    """
+    if os.environ.get("CSDT_MEASURED_POLICY", "1") == "0":
+        return None
+    path = os.environ.get("CSDT_POLICY_FILE") or os.path.join(
+        os.path.dirname(__file__), "..", "..", "artifacts", "measured_policy.json"
+    )
+    if path not in _MEASURED_POLICY_CACHE:
+        value = None
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if (
+                isinstance(data, dict)
+                and data.get("conv_dispatch", "none") in NAMED_CONV_POLICIES
+            ):
+                value = data
+        except (OSError, ValueError):
+            value = None
+        _MEASURED_POLICY_CACHE[path] = value
+    return _MEASURED_POLICY_CACHE[path]
+
+
 def apply_dispatch_config(model_config) -> None:
     """Set the global lowering policies from optional config knobs.
 
@@ -150,12 +194,21 @@ def apply_dispatch_config(model_config) -> None:
     can therefore perturb a long sampling chain bit-wise, never
     statistically.
     """
-    name = model_config.get("conv_dispatch", "none") if hasattr(model_config, "get") else "none"
-    set_conv_dispatch(NAMED_CONV_POLICIES[name])
-    fused = model_config.get("fused_tail", False) if hasattr(model_config, "get") else False
-    set_fused_gn_conv_dispatch(fused_tail_candidate_policy if fused else None)
-    fblock = model_config.get("fused_block", False) if hasattr(model_config, "get") else False
-    set_fused_block_dispatch(fused_block_candidate_policy if fblock else None)
+    measured = measured_policy_default() or {}
+
+    def knob(key, builtin):
+        # explicit recipe value > measured production default > builtin
+        if hasattr(model_config, "get") and key in model_config:
+            return model_config.get(key)
+        return measured.get(key, builtin)
+
+    set_conv_dispatch(NAMED_CONV_POLICIES[knob("conv_dispatch", "none")])
+    set_fused_gn_conv_dispatch(
+        fused_tail_candidate_policy if knob("fused_tail", False) else None
+    )
+    set_fused_block_dispatch(
+        fused_block_candidate_policy if knob("fused_block", False) else None
+    )
 
 
 class _GNParamBank(nn.Module):

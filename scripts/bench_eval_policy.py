@@ -30,8 +30,11 @@ import os  # noqa: E402
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-ONLY = set(sys.argv[2:])
+# argv only belongs to this script when run directly (the winner-writer is
+# also imported by its test, where argv is pytest's)
+_IS_MAIN = __name__ == "__main__"
+K = int(sys.argv[1]) if _IS_MAIN and len(sys.argv) > 1 else 20
+ONLY = set(sys.argv[2:]) if _IS_MAIN else set()
 # smoke mode for pre-flighting the script itself without a TPU:
 #   BENCH_POLICY_SIZE=40 BENCH_POLICY_B=2 python scripts/bench_eval_policy.py 2
 SIZE = int(os.environ.get("BENCH_POLICY_SIZE", "160"))
@@ -65,6 +68,24 @@ POLICIES = {
     "fblock10": (None, _LOWRES, "canonical"),
     "fblock10+s2d": (_S2D, _LOWRES, "canonical"),
     "fblock20": (None, _LOWRES, _LOWRES),
+}
+
+# Rows expressible as production config knobs (layers.apply_dispatch_config):
+# the fastest of these is written to artifacts/measured_policy.json, which
+# layers.measured_policy_default() serves as the production default for every
+# recipe without explicit knobs.  The gates match exactly: _LOWRES ==
+# fused_tail_candidate_policy (H*W<=400), "canonical" ==
+# fused_block_candidate_policy.  fusedall/fblock20 are stress rows with no
+# production equivalent and never become the default.
+PRODUCTION_KNOBS = {
+    "xla": {"conv_dispatch": "none", "fused_tail": False, "fused_block": False},
+    "im2col20": {"conv_dispatch": "lowres_im2col", "fused_tail": False, "fused_block": False},
+    "s2d160": {"conv_dispatch": "s2d_highres", "fused_tail": False, "fused_block": False},
+    "both": {"conv_dispatch": "tuned", "fused_tail": False, "fused_block": False},
+    "fused20": {"conv_dispatch": "none", "fused_tail": True, "fused_block": False},
+    "fused20+s2d": {"conv_dispatch": "s2d_highres", "fused_tail": True, "fused_block": False},
+    "fblock10": {"conv_dispatch": "none", "fused_tail": True, "fused_block": True},
+    "fblock10+s2d": {"conv_dispatch": "s2d_highres", "fused_tail": True, "fused_block": True},
 }
 
 
@@ -125,6 +146,51 @@ def main():
         for name, per in results.items():
             if name != "xla":
                 print(f"  {name} vs xla: {base/per:.3f}x", flush=True)
+
+    _write_measured_policy(results)
+
+
+def _write_measured_policy(results):
+    """Record the fastest production-expressible row as the framework's
+    measured lowering default (consumed by layers.measured_policy_default).
+
+    Only written from a real-accelerator run at the flagship shape — a CPU
+    smoke or reduced-shape ladder must not set production policy.  Force
+    with BENCH_POLICY_WRITE=1 (used by the fallback's own test).
+    """
+    import json
+
+    forced = os.environ.get("BENCH_POLICY_WRITE") == "1"
+    on_accel = jax.devices()[0].platform != "cpu"
+    flagship_shape = SIZE == 160 and BATCH == 16
+    if not forced and not (on_accel and flagship_shape):
+        print("# measured_policy.json not written (CPU smoke or non-flagship shape)",
+              flush=True)
+        return
+    prod = {n: per for n, per in results.items() if n in PRODUCTION_KNOBS}
+    if "xla" not in prod or len(prod) < 2:
+        print("# measured_policy.json not written (need xla + >=1 candidate row)",
+              flush=True)
+        return
+    winner = min(prod, key=prod.get)
+    payload = dict(
+        PRODUCTION_KNOBS[winner],
+        winner=winner,
+        ms_per_eval=round(prod[winner] * 1e3, 4),
+        speedup_vs_xla=round(prod["xla"] / prod[winner], 4),
+        platform=jax.devices()[0].platform,
+        shape=f"{SIZE}px B{BATCH} bf16 K{K}",
+        results_ms={n: round(p * 1e3, 4) for n, p in prod.items()},
+    )
+    path = os.environ.get("CSDT_POLICY_FILE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "measured_policy.json",
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"# measured_policy.json written: winner={winner} "
+          f"({payload['speedup_vs_xla']}x vs xla) -> {path}", flush=True)
 
 
 if __name__ == "__main__":

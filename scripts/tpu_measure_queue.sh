@@ -10,6 +10,17 @@
 set -x
 mkdir -p artifacts/r4_measurements
 timeout 5400 python scripts/bench_eval_policy.py 20 2>&1 | tee artifacts/r4_measurements/eval_policy.log
+
+# The ladder writes artifacts/measured_policy.json (the winning
+# production-expressible policy); it is the framework-wide lowering default
+# from the moment it exists (layers.measured_policy_default), so commit it —
+# every later step in this queue (headline bench, flagship train) and every
+# future run then uses the measured winner.
+if [[ -f artifacts/measured_policy.json ]]; then
+  git add artifacts/measured_policy.json artifacts/r4_measurements/eval_policy.log
+  git commit -m "Set measured lowering policy default from on-TPU eval ladder" || true
+fi
+
 timeout 4500 python scripts/bench_fused_kernel.py 50 2>&1 | tee artifacts/r4_measurements/fused_kernel_grid.log
 
 # Hedge steps: useful TPU output even if the operator session dies before it

@@ -15,6 +15,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Pin the measured-policy production default OFF for the suite: parity tests
+# must exercise exactly the lowering paths their explicit knobs name,
+# independent of whatever artifacts/measured_policy.json the TPU ladder last
+# wrote.  tests/test_dispatch.py covers the fallback itself via
+# CSDT_POLICY_FILE.
+os.environ.setdefault("CSDT_MEASURED_POLICY", "0")
+
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
