@@ -28,5 +28,18 @@ timeout 4500 python scripts/bench_fused_kernel.py 50 2>&1 | tee artifacts/r4_mea
 # production-default policy, (2) a bounded, resumable flagship-shape training
 # kickoff (VERDICT round-3 item 3) — the long pole, needs no judgment call.
 timeout 1800 python bench.py 2>&1 | tee artifacts/r4_measurements/bench_default.log
+
+# (3) short on-TPU VS-CMDE run (VERDICT r4 item 5): train with the sigma_y
+# anneal TB-visible, checkpoint, then test-mode restore through the harness.
+# Short and fixed-cost, so it runs BEFORE the long flagship stage.
+timeout 2400 python main.py \
+    --config configs/artifacts/texture64_sr_dv.py \
+    --config.training.n_iters=1500 \
+    --mode train --log_path artifacts/vscmde_tpu 2>&1 | tee artifacts/r4_measurements/vscmde_train.log
+timeout 1200 python main.py \
+    --config configs/artifacts/texture64_sr_dv.py \
+    --mode test --log_path artifacts/vscmde_tpu 2>&1 | tee artifacts/r4_measurements/vscmde_test.log
+
+# (4) the flagship 160px training kickoff — the long pole, last.
 FLAGSHIP_TIMEOUT=${QUEUE_FLAGSHIP_TIMEOUT:-10800} \
   bash scripts/tpu_flagship_train.sh 2>&1 | tee /tmp/flagship160.log
