@@ -216,6 +216,23 @@ def run_multi_scale_test(
             "psnr": mean_psnr(final, gt_img),
             "ssim": mean_ssim(final, gt_img),
         }
+        if coord_space == "haar":
+            # Zero-detail control: chain the same DC band through
+            # haar_backward with all detail bands zero.  Pure math (no
+            # sampling) — the bar a trained chain must beat for its detail
+            # models to be adding rather than subtracting fidelity.
+            dc_only = jnp.asarray(batch["y"] if isinstance(batch, dict) else batch)
+            for config, _, _ in scales:
+                c = config.data.shape_x[0]
+                dc_only = haar_backward(
+                    jnp.concatenate(
+                        [dc_only, jnp.zeros(dc_only.shape[:-1] + (c,), dc_only.dtype)],
+                        axis=-1,
+                    )
+                )
+            dc_img = np.clip(np.asarray(dc_only)[:n].astype(np.float32), 0.0, 1.0)
+            m["dc_only_psnr"] = mean_psnr(dc_img, gt_img)
+            m["dc_only_ssim"] = mean_ssim(dc_img, gt_img)
         chain_metrics.append(m)
         print(f"[multi_scale] batch {batch_idx} chain metrics: {m}", flush=True)
 
@@ -235,6 +252,13 @@ def run_multi_scale_test(
             "coordinate_space": coord_space,
             "p_steps": p_steps,
         }
+        if all("dc_only_psnr" in m for m in chain_metrics):
+            summary["dc_only_mean_psnr"] = float(
+                np.mean([m["dc_only_psnr"] for m in chain_metrics])
+            )
+            summary["dc_only_mean_ssim"] = float(
+                np.mean([m["dc_only_ssim"] for m in chain_metrics])
+            )
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(summary, f, indent=1)
     if writer is not None:

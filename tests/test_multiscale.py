@@ -92,6 +92,10 @@ def test_multi_scale_haar_chain(tmp_path):
         m = json.load(f)
     assert m["per_batch"] and np.isfinite(m["mean_psnr"]) and np.isfinite(m["mean_ssim"])
     assert -1.0 <= m["mean_ssim"] <= 1.0
+    # the zero-detail DC-only control is recorded alongside (the bar the
+    # trained chain must beat for its detail models to add fidelity)
+    assert np.isfinite(m["dc_only_mean_psnr"])
+    assert -1.0 <= m["dc_only_mean_ssim"] <= 1.0
 
 
 def test_rescale_and_concatenate_pyramid_shapes():
