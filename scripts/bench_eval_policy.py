@@ -134,6 +134,9 @@ def main():
             per = (time.perf_counter() - t0) / K
             results[name] = per
             print(f"{name}: {per*1e3:.2f} ms/eval [warm {warm:.0f}s]", flush=True)
+            # update the winner file after EVERY row: a timeout that cuts
+            # the ladder short must not discard the rows that did finish
+            _write_measured_policy(results)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
         finally:
