@@ -18,7 +18,11 @@ while true; do
   # stage evidence paths only — never source code (those commits are
   # deliberate and message-worthy); exclude in-flight orbax tmp dirs
   git add -A artifacts/ BENCH_*.json MULTICHIP_*.json 2>/dev/null
-  git reset -q -- 'artifacts/**/*.orbax-checkpoint-tmp*' 2>/dev/null
+  # rolling orbax checkpoints churn ~30MB each save; committing every scan
+  # would bloat history.  Final checkpoints are committed deliberately at
+  # stage ends; this loop protects the small evidence (metrics, PNGs, logs,
+  # event files).
+  git reset -q -- 'artifacts/**/checkpoints/**' 'artifacts/**/*.orbax-checkpoint-tmp*' 2>/dev/null
   if ! git diff --cached --quiet; then
     git commit -q -m "Snapshot training and measurement artifacts" \
       && echo "$(date): committed evidence snapshot"
